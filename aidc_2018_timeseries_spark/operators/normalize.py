@@ -1,0 +1,79 @@
+"""Scaling / normalization aggregations (SURVEY §2.4 A1-A3).
+
+Reference quirk NOT reproduced: it normalizes IN PLACE over overlapping
+strided views (``turbofan.py:237-246``), so with skip < seq_len later
+windows see partially-overwritten data. Our semantics are pure — every
+window/row is normalized from source values (SURVEY §7 documents the
+deviation; golden tests encode the pure semantics).
+
+Scale: all window aggregates over the series partition — a single hash
+shuffle on the series key covers scaling, labeling and windowing together.
+σ uses the POPULATION formula sqrt(E[x²] − E[x]²) to match the reference's
+``np.std`` (ddof=0) and to be formula-identical in DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def per_key_max_scale(
+    df: DataFrame, key: str, cols: Sequence[str], suffix: str = "_scaled"
+) -> DataFrame:
+    """A1: x / max(x) per series per column (reference
+    ``turbofan.py:249-264``: ``traj / traj.max(axis=0)``)."""
+    w = Window.partitionBy(key)
+    out = df
+    for c in cols:
+        out = out.withColumn(c + suffix, F.col(c) / F.max(F.col(c)).over(w))
+    return out
+
+
+def trailing_window_zscore(
+    df: DataFrame,
+    key: str,
+    order: str | Sequence[str],
+    value_col: str,
+    seq_len: int,
+    eps: float = 1e-9,
+    out: str | None = None,
+) -> DataFrame:
+    """A2 on long format: z-score each value against the mean/σ of its
+    trailing ``seq_len``-row window (reference ``turbofan.py:225-247``
+    z-scores each window over its time axis; per-row trailing-window form
+    avoids materializing windows). σ ≤ eps → divide by 1 (reference's
+    constant-sensor guard, ``turbofan.py:240``).
+    """
+    order_names = [order] if isinstance(order, str) else list(order)
+    frame = (
+        Window.partitionBy(key)
+        .orderBy(*[F.col(n) for n in order_names])
+        .rowsBetween(-(seq_len - 1), Window.currentRow)
+    )
+    v = F.col(value_col).cast("double")
+    mean = F.avg(v).over(frame)
+    # population σ via E[x²]−E[x]² — formula-identical in the DuckDB oracle
+    sigma = F.sqrt(F.greatest(F.avg(v * v).over(frame) - mean * mean, F.lit(0.0)))
+    safe_sigma = F.when(sigma <= eps, F.lit(1.0)).otherwise(sigma)
+    return df.withColumn(out or (value_col + "_z"), (v - mean) / safe_sigma)
+
+
+def array_window_zscore(arr: Column | str, eps: float = 1e-9) -> Column:
+    """A2 on an array window: z-score the array over its own elements."""
+    a = F.col(arr) if isinstance(arr, str) else arr
+    n = F.size(a).cast("double")
+    s = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    s2 = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    mean = s / n
+    sigma = F.sqrt(F.greatest(s2 / n - mean * mean, F.lit(0.0)))
+    safe = F.when(sigma <= eps, F.lit(1.0)).otherwise(sigma)
+    return F.transform(a, lambda x: (x.cast("double") - mean) / safe)
+
+
+def constant_scale(col: Column | str, divisor: float = 100.0) -> Column:
+    """A3: settings ÷ 100 (reference ``turbofan.py:243-246``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c / F.lit(divisor)

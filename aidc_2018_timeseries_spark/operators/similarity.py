@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the 100 TB design brief:
+- brute-force cosine top-k — the correctness baseline. The query set is
+  small and BROADCAST; the corpus streams through a scan-shaped plan, so
+  the cost is one pass over the data per query batch, no shuffle of the
+  corpus. JVM-side fold arithmetic (functions/vectors.py) keeps it inside
+  codegen and bit-reproducible for the DuckDB oracle.
+- IVF (inverted-file) top-k — the scale path: vectors are pre-assigned to
+  their nearest centroid (one scan, centroids broadcast); a query probes
+  only the closest n_probe centroid partitions, touching ~n_probe/C of the
+  corpus. Centroids here are a deterministic id-stride sample; a real
+  deployment would plug k-means centroids from MLlib without changing the
+  query shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, sim).
+
+    Rank is deterministic: similarity rounded to 6 dp desc, then neighbor
+    id asc — float ulp noise cannot flip the ordering.
+    """
+    joined = vectors.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "sim")
+    )
+
+
+def assign_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """IVF build: nearest centroid per vector (centroids broadcast).
+
+    One scan over the corpus; output is the inverted file — at scale you
+    write it back partitioned/bucketed by centroid_id so probes prune files.
+    """
+    joined = vectors.crossJoin(F.broadcast(centroids))
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col(centroid_vec_col)), 6)
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(centroid_id_col))
+    return (
+        joined.select(F.col(id_col), F.col(vec_col), F.col(centroid_id_col), sim.alias("csim"))
+        .withColumn("rk", F.row_number().over(Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col(centroid_id_col))))
+        .filter(F.col("rk") == 1)
+        .select(id_col, vec_col, centroid_id_col)
+    )
+
+
+def stride_centroids(
+    vectors: DataFrame,
+    stride: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid sample: every stride-th vector by id."""
+    return vectors.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroid_stride: int = 50,
+    n_probe: int = 3,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: probe the n_probe nearest centroid cells only.
+
+    Recall < 1 by design; tests measure recall against brute force rather
+    than exact equality (the driver's rows-only check applies).
+    """
+    cents = stride_centroids(vectors, centroid_stride, id_col, vec_col)
+    inverted = assign_centroids(vectors, cents, id_col, vec_col)
+    # queries → their n_probe closest centroids
+    qc = queries.crossJoin(F.broadcast(cents))
+    qsim = F.round(cosine_similarity(F.col(query_vec_col), F.col("centroid_vec")), 6)
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("qsim").desc(), F.col("centroid_id"))
+    probes = (
+        qc.select(F.col(query_id_col), F.col(query_vec_col), F.col("centroid_id"), qsim.alias("qsim"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_probe)
+        .select(query_id_col, query_vec_col, "centroid_id")
+    )
+    # probe join: only vectors in probed cells are scored
+    cand = probes.join(inverted, "centroid_id").filter(F.col(id_col) != F.col(query_id_col))
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
+    scored = cand.select(F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "sim")
+    )
+
+
+def embedding_cosine_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+
+    Brute-force form (correctness baseline). The scale path reuses the IVF
+    partitioning: compare only within a cell and its neighbor cells.
+    """
+    left = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    right = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)

@@ -1,0 +1,126 @@
+"""Text-analysis operators over a document corpus (BASELINE.json north
+star: LLM-training-data pipeline ops as first-class engine components).
+
+Everything is built-in Catalyst expressions (split/regexp/higher-order
+functions) — no Python in the hot path, so a 100 TB documents table runs
+scan-shaped with whole-stage codegen. Tokenization is whitespace-based and
+IDENTICAL in the DuckDB oracles (regexp differences between engines are a
+classic parity trap — the only regexes used behave identically in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.functions.hashing import hash64, word_fingerprint
+
+#: tiny embedded stopword lists for the language-ID heuristic. Real systems
+#: use character n-gram models; the ENGINE mechanics (score-per-language,
+#: deterministic argmax) are what matters here and they are identical.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "una"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "dans", "pour", "que"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我", "他", "这"],
+}
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text (empty tokens removed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+
+
+def tokenize_sql(expr: str) -> str:
+    """DuckDB SQL equivalent of :func:`tokenize`."""
+    return f"list_filter(string_split_regex(lower(trim({expr})), '\\s+'), t -> t <> '')"
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokenize(text))
+
+
+def type_token_ratio(text: Column | str) -> Column:
+    """Distinct tokens / total tokens — a classic repetition-quality signal."""
+    toks = tokenize(text)
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokenize(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def quality_score(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Deterministic heuristic quality score in [0, 1]:
+
+    0.4 * stopword-ratio-score + 0.3 * type-token-ratio
+    + 0.3 * length-score(min(n_tokens, 200)/200)
+
+    Mirrors the length/stopword/repetition signals of published quality
+    classifiers (Gopher/C4 rules) in engine-checkable form.
+    """
+    stopwords = stopwords or LANG_STOPWORDS["en"]
+    toks = tokenize(text)
+    n = F.size(toks).cast("double")
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("double") / n
+    stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))  # ~20% stopwords → full marks
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    len_score = F.least(n, F.lit(200.0)) / 200.0
+    return 0.4 * stop_score + 0.3 * ttr + 0.3 * len_score
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Stopword-hit count per language (integer — exact parity)."""
+    toks = tokenize(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Deterministic argmax over language scores; ties resolve in the fixed
+    key order of LANG_STOPWORDS, unknown when all scores are 0."""
+    scores = lang_scores(text)
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0)
+    # iterate reversed so earlier languages win ties (strict > comparison)
+    for lang in reversed(list(scores)):
+        cond = scores[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive rolling hash of the token sequence (see
+    functions/hashing.py); identical documents → identical fingerprint,
+    resilient to case/whitespace differences."""
+    return word_fingerprint(tokenize(text))
+
+
+def char_ngrams_of_tokens(tokens: Column, n: int) -> Column:
+    """Word n-gram shingles: join each n consecutive tokens with a space.
+
+    ``transform(sequence(1, size-n+1), i -> concat_ws(' ', slice(toks, i, n)))``
+    — empty when the document has fewer than n tokens.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+
+
+def shingle_hashes(text: Column | str, n: int = 3, space_bits: int = 30) -> Column:
+    """Distinct 30-bit hashes of word n-gram shingles — the MinHash input.
+
+    30-bit reduction keeps downstream universal-hash arithmetic
+    (a*h + b mod p) inside int64 without overflow in BOTH engines
+    (Spark 4 runs ANSI mode: silent wraparound would instead throw).
+    """
+    shingles = char_ngrams_of_tokens(tokenize(text), n)
+    return F.array_distinct(
+        F.transform(shingles, lambda s: hash64(s) % F.lit(1 << space_bits))
+    )

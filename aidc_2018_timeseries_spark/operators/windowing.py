@@ -1,0 +1,195 @@
+"""Sequence-windowing operators (SURVEY §2.3 W1/W2/W4/W7).
+
+The reference builds overlapping windows with zero-copy NumPy stride tricks
+(``datasets/timeseries.py:90-115``, ``datasets/turbofan.py:118-163``).
+Spark-first equivalent: keep the series in LONG FORMAT
+``(series_id, t, features...)`` and express window membership with window
+specs — the plan stays one shuffle (hash-partition by series_id, sort by t
+within partitions), windows never materialize until the caller asks for
+arrays. That is the 100 TB posture: per-series work is partition-local, the
+window agg does no extra shuffle, and array materialization (the ×T data
+amplification the reference avoids with as_strided) happens only at the ML
+boundary, bounded per-partition.
+
+Window-count parity (SURVEY §7 traps):
+- rolling: L-T+1 windows per series, series with L < T emit none
+  (reference ``timeseries.py:104-105``).
+- strided: ceil((L-T+1)/skip) windows (reference ``turbofan.py:143``);
+  reference window k starts at row k*skip, i.e. rows where
+  (rn-T) % skip == 0 keyed by window END rn here.
+- tumbling: (L - look_ahead) // T windows (reference ``timeseries.py:135``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_cols(order: str | Sequence[str]) -> list[Column]:
+    names = [order] if isinstance(order, str) else list(order)
+    return [F.col(n) for n in names]
+
+
+def with_row_index(
+    df: DataFrame, key: str, order: str | Sequence[str], out: str = "rn"
+) -> DataFrame:
+    """1-based position of each row within its series (deterministic order).
+
+    The reference gets ordering implicitly from file row order
+    (``turbofan.py:171-174``); Spark must make it explicit. Pass a
+    tie-breaking order (e.g. ``["ts", "event_id"]``) for full determinism.
+    """
+    w = Window.partitionBy(key).orderBy(*_order_cols(order))
+    return df.withColumn(out, F.row_number().over(w))
+
+
+def rolling_window_agg(
+    df: DataFrame,
+    key: str,
+    order: str | Sequence[str],
+    agg_exprs: dict[str, Column],
+    seq_len: int,
+) -> DataFrame:
+    """W1 in long form: per-row trailing window of ``seq_len`` rows with
+    caller-chosen aggregates; rows whose window is incomplete are dropped —
+    this is exactly the reference's "first T-1 windows don't exist"
+    alignment.
+
+    ``agg_exprs`` values must be PLAIN aggregate expressions (``F.avg(c)``,
+    not ``F.round(F.avg(c), 6)``) — ``.over(frame)`` attaches directly to
+    the aggregate; wrap post-processing around the output column instead.
+
+    Result keeps (key, rn) as the window identity (rn = window END row).
+    """
+    df = with_row_index(df, key, order)
+    frame = (
+        Window.partitionBy(key)
+        .orderBy(*_order_cols(order))
+        .rowsBetween(-(seq_len - 1), Window.currentRow)
+    )
+    out = df
+    for name, expr in agg_exprs.items():
+        out = out.withColumn(name, expr.over(frame))
+    return out.filter(F.col("rn") >= seq_len)
+
+
+def rolling_window_arrays(
+    df: DataFrame,
+    key: str,
+    order: str | Sequence[str],
+    feature_cols: Sequence[str],
+    seq_len: int,
+    window_col: str = "window",
+) -> DataFrame:
+    """W1 materialized: one row per complete window, ``window`` =
+    array<struct<features>> of length exactly ``seq_len`` (time-ordered).
+
+    This is the (N, T, F) tensor of the reference (``timeseries.py:47``) as
+    a DataFrame. Materialization amplifies data ×T — keep it the LAST step
+    before the ML stage, after filters/stride have cut N (same reason the
+    reference uses as_strided views).
+    """
+    df = with_row_index(df, key, order)
+    frame = (
+        Window.partitionBy(key)
+        .orderBy(*_order_cols(order))
+        .rowsBetween(-(seq_len - 1), Window.currentRow)
+    )
+    window_expr = F.collect_list(F.struct(*[F.col(c) for c in feature_cols])).over(frame)
+    return (
+        df.withColumn(window_col, window_expr)
+        .filter(F.col("rn") >= seq_len)
+        .select(key, "rn", window_col)
+    )
+
+
+def strided_rolling_window_agg(
+    df: DataFrame,
+    key: str,
+    order: str | Sequence[str],
+    agg_exprs: dict[str, Column],
+    seq_len: int,
+    skip: int,
+) -> DataFrame:
+    """W2: rolling windows advanced by ``skip`` rows.
+
+    Reference semantics (``turbofan.py:143-145``): window k covers rows
+    [k*skip, k*skip + T); emitted for k in 0..ceil((L-T+1)/skip)-1. In
+    row-number terms a window END rn qualifies iff (rn - T) % skip == 0.
+    """
+    out = rolling_window_agg(df, key, order, agg_exprs, seq_len)
+    return out.filter(((F.col("rn") - seq_len) % skip) == 0)
+
+
+def last_window(
+    df: DataFrame,
+    key: str,
+    order: str | Sequence[str],
+    seq_len: int,
+) -> DataFrame:
+    """W4: the final ``seq_len`` rows of each series (as-of extraction).
+
+    Reference val mode (``turbofan.py:151-153``): only the last T rows form
+    one sample. Long-form output keeps original columns + ``rn`` (position
+    from the end, 1 = last row) — callers aggregate or array-ify from here.
+    Series shorter than seq_len keep all their rows (reference pads them;
+    see operators/padding.py).
+    """
+    w = Window.partitionBy(key).orderBy(*[c.desc() for c in _order_cols(order)])
+    return df.withColumn("rn_from_end", F.row_number().over(w)).filter(
+        F.col("rn_from_end") <= seq_len
+    )
+
+
+def tumbling_window_id(
+    df: DataFrame,
+    key: str,
+    order: str | Sequence[str],
+    seq_len: int,
+    out: str = "window_id",
+) -> DataFrame:
+    """W7 core: assign 0-based non-overlapping window ids of width T.
+
+    Rows beyond the last complete window (and, in the reference, beyond
+    L - look_ahead) are the caller's to drop; this just labels. Window id
+    floor((rn-1)/T) matches the reference's reshape
+    (``timeseries.py:135-140``).
+    """
+    df = with_row_index(df, key, order)
+    return df.withColumn(out, ((F.col("rn") - 1) / seq_len).cast("long"))
+
+
+def tumbling_windows_with_lookahead(
+    df: DataFrame,
+    key: str,
+    order: str | Sequence[str],
+    value_col: str,
+    seq_len: int,
+    look_ahead: int,
+) -> DataFrame:
+    """W7 full: non-overlapping X windows plus the same windows shifted
+    ``look_ahead`` rows as the forecasting target y
+    (reference ``timeseries.py:117-152``: X = a[:n], y = a[look_ahead:
+    look_ahead+n], n = (L - look_ahead)//T * T).
+
+    Long-form output: one row per (series, window_id, offset t_in_window)
+    with x and y columns; y is ``lead(value, look_ahead)`` so the pairing
+    never re-shuffles.
+    """
+    order_c = _order_cols(order)
+    w = Window.partitionBy(key).orderBy(*order_c)
+    df = with_row_index(df, key, order)
+    df = df.withColumn("y", F.lead(F.col(value_col), look_ahead).over(w))
+    n_rows = Window.partitionBy(key)
+    # usable length n = ((L - look_ahead) // T) * T
+    df = df.withColumn("series_len", F.count(F.lit(1)).over(n_rows))
+    usable = (F.floor((F.col("series_len") - look_ahead) / seq_len) * seq_len).cast("long")
+    df = df.filter(F.col("rn") <= usable)
+    return (
+        df.withColumn("window_id", ((F.col("rn") - 1) / seq_len).cast("long"))
+        .withColumn("t_in_window", ((F.col("rn") - 1) % seq_len).cast("long"))
+        .select(key, "window_id", "t_in_window", F.col(value_col).alias("x"), "y")
+    )

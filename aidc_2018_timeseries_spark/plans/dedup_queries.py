@@ -1,0 +1,164 @@
+"""Catalog queries: deduplication over ``documents`` / ``embeddings``.
+
+The DuckDB oracles restate each dedup algorithm in SQL with the SAME
+md5-derived constants (generated from one Python source of truth), so the
+driver's hash check verifies the algorithm, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.functions.hashing import hash64_sql
+from aidc_2018_timeseries_spark.operators import dedup as dd
+from aidc_2018_timeseries_spark.operators.similarity import embedding_cosine_dup_pairs
+from aidc_2018_timeseries_spark.operators.text import tokenize_sql
+from aidc_2018_timeseries_spark.plans.catalog import register
+from aidc_2018_timeseries_spark.sources.tables import load_table
+
+_TOKS = tokenize_sql("text")
+_SHINGLE_N = 3
+_NUM_HASHES = 16
+_NUM_BANDS = 4
+
+# word-3-gram shingles → distinct 30-bit hashes, as DuckDB SQL over `toks`
+_SHINGLES = (
+    f"list_transform(range(1, len(toks) - {_SHINGLE_N} + 2), "
+    f"i -> array_to_string(list_slice(toks, i, i + {_SHINGLE_N} - 1), ' '))"
+)
+_SH30 = f"list_distinct(list_transform({_SHINGLES}, s -> {hash64_sql('s')} % 1073741824))"
+
+
+# --- exact dedup (hash-groupBy) ---
+@register(
+    "dedup_exact",
+    f"""
+    WITH h AS (
+      SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS content_hash FROM documents),
+    c AS (SELECT content_hash, MIN(doc_id) AS canonical_id FROM h GROUP BY content_hash)
+    SELECT h.doc_id, c.canonical_id FROM h JOIN c USING (content_hash)
+    """,
+    doc="exact dedup: normalized content hash → min-id canonical mapping",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.exact_duplicates(d, "doc_id", "text")
+
+
+# --- MinHash + LSH candidate pairs ---
+def _minhash_oracle() -> str:
+    sig_exprs = []
+    for i, (a, b) in enumerate(dd._minhash_params(_NUM_HASHES)):
+        sig_exprs.append(
+            f"COALESCE(list_min(list_transform(sh30, h -> ({a} * h + {b}) % "
+            f"{dd.MINHASH_PRIME})), {dd.MINHASH_PRIME}) AS s{i}"
+        )
+    rows = _NUM_HASHES // _NUM_BANDS
+    band_rows = []
+    for band in range(_NUM_BANDS):
+        cols = ", ".join(f"s{band * rows + j}::VARCHAR" for j in range(rows))
+        bh = hash64_sql(f"array_to_string([{cols}], ',')")
+        band_rows.append(f"SELECT doc_id, {band} AS band_id, {bh} AS band_hash FROM sigs")
+    bands_union = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SH30} AS sh30 FROM t),
+    sigs AS (SELECT doc_id, {", ".join(sig_exprs)} FROM sh),
+    bands AS ({bands_union})
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_pairs",
+    _minhash_oracle(),
+    doc="MinHash(16)+LSH(4 bands) candidate pairs — shingle→minhash→band→"
+    "bucket-join; only band keys shuffle, never the doc cross product",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_candidate_pairs(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=_SHINGLE_N
+    )
+
+
+# --- exact n-gram Jaccard over candidate-generating inverted index ---
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SH30}) AS shingle FROM t),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id)
+    SELECT id_a, id_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.8
+    """,
+    doc="exact 3-gram Jaccard ≥ 0.8 via inverted-index self-join",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=_SHINGLE_N, threshold=0.8)
+
+
+# --- SimHash buckets ---
+def _simhash_oracle() -> str:
+    votes = []
+    for j in range(32):
+        div = float(1 << j)
+        votes.append(
+            f"CASE WHEN CAST(list_sum(list_transform(th, h -> CASE WHEN "
+            f"CAST(FLOOR(h / {div}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    simhash = " + ".join(votes)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    th AS (SELECT doc_id,
+                  list_transform(toks, x -> {hash64_sql('x')} % 4294967296) AS th
+           FROM t),
+    s AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM th)
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM s GROUP BY simhash
+    """
+
+
+@register(
+    "dedup_simhash_buckets",
+    _simhash_oracle(),
+    doc="32-bit SimHash bucket dedup: scan-local signature, groupBy signature",
+)
+def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash_buckets(d, "doc_id", "text")
+
+
+# --- embedding-cosine near-dup pairs ---
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           ROUND(list_dot_product(l.e, r.e)
+                 / (SQRT(list_dot_product(l.e, l.e)) * SQRT(list_dot_product(r.e, r.e))),
+                 6) AS sim
+    FROM v l JOIN v r ON l.vec_id < r.vec_id
+    WHERE ROUND(list_dot_product(l.e, r.e)
+                / (SQRT(list_dot_product(l.e, l.e)) * SQRT(list_dot_product(r.e, r.e))),
+                6) >= 0.95
+    """,
+    doc="embedding near-dup: cosine ≥ 0.95 brute-force pairs (IVF is the scale path)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_dup_pairs(e, threshold=0.95)

@@ -1,0 +1,153 @@
+"""Catalog queries: composed dataset pipelines + array pad operators.
+
+``turbofan_rul_pipeline`` is the flagship (entry()) query — the reference's
+§3.1 chain (scale → strided windows → capped RUL labels) as one plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.operators.padding import (
+    pad_front_repeat_first,
+    pad_or_truncate_front_zero,
+)
+from aidc_2018_timeseries_spark.pipelines.turbofan import rul_window_features
+from aidc_2018_timeseries_spark.plans.catalog import register
+from aidc_2018_timeseries_spark.sources.synthetic import adding_problem
+from aidc_2018_timeseries_spark.sources.tables import load_table
+
+_ORA_WIN = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+# --- flagship: the full turbofan RUL feature pipeline on events ---
+@register(
+    "turbofan_rul_pipeline",
+    f"""
+    WITH scaled AS (
+      SELECT user_id, event_id, ts,
+             value / MAX(value) OVER (PARTITION BY user_id) AS v
+      FROM events),
+    r AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER ({_ORA_WIN}) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             ROUND(AVG(v) OVER ({_ORA_WIN}
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS win_mean
+      FROM scaled)
+    SELECT user_id, event_id, win_mean, CAST(LEAST(n - rn, 130) AS BIGINT) AS rul
+    FROM r WHERE rn >= 20 AND (rn - 20) % 5 = 0
+    """,
+    doc="flagship: A1 scaling → W2 strided windows (T=20,skip=5) → W3/P5 "
+    "capped RUL labels, single-shuffle composed plan (reference §3.1 chain)",
+)
+def turbofan_rul_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = rul_window_features(
+        ev, "user_id", ["ts", "event_id"], "value", seq_len=20, skip=5, cap=130
+    )
+    return out.select("user_id", "event_id", "win_mean", "rul")
+
+
+# --- S5: the adding problem, deterministic hash-derived randomness ---
+def _adding_oracle(n: int = 1000, t: int = 50) -> str:
+    h = lambda e: f"CAST(CONCAT('0x', SUBSTR(MD5({e}), 1, 15)) AS BIGINT)"  # noqa: E731
+    space = float(1 << 60)
+    return f"""
+    WITH s AS (SELECT range AS sample_id FROM range({n})),
+    p AS (
+      SELECT sample_id,
+             {h("CONCAT('p1:', sample_id::VARCHAR)")} % {t} AS pos1,
+             {h("CONCAT('p2:', sample_id::VARCHAR)")} % {t - 1} AS pos2_raw
+      FROM s),
+    pp AS (
+      SELECT sample_id, pos1,
+             CASE WHEN pos2_raw >= pos1 THEN pos2_raw + 1 ELSE pos2_raw END AS pos2
+      FROM p),
+    v AS (
+      SELECT sample_id, pos1, pos2,
+             list_transform(range(0, {t}),
+               j -> {h("CONCAT('v:', sample_id::VARCHAR, ':', j::VARCHAR)")} / {space})
+               AS vals
+      FROM pp)
+    SELECT sample_id, pos1, pos2,
+           ROUND(vals[CAST(pos1 + 1 AS INTEGER)] + vals[CAST(pos2 + 1 AS INTEGER)], 6)
+             AS label
+    FROM v
+    """
+
+
+@register(
+    "s5_adding_problem",
+    _adding_oracle(),
+    doc="S5 synthetic adding-problem generator: hash-derived U(0,1) values, "
+    "two distinct mask positions, label = their sum (RNG-parity-safe)",
+)
+def s5_adding_problem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = adding_problem(spark, n_samples=1000, seq_len=50)
+    return df.select("sample_id", "pos1", "pos2", "label")
+
+
+# --- W5: front-pad by repeating the first row (turbofan pad rule) ---
+@register(
+    "w5_pad_repeat_first",
+    """
+    WITH arr AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS a
+      FROM events GROUP BY user_id),
+    p AS (
+      SELECT user_id,
+             CASE WHEN len(a) >= 100 THEN a
+                  ELSE list_concat(list_transform(range(1, 100 - len(a) + 1), i -> a[1]), a)
+             END AS pa
+      FROM arr)
+    SELECT user_id, generate_subscripts(pa, 1) AS idx, unnest(pa) AS v FROM p
+    """,
+    doc="W5 left-pad short series by repeating the first value to length 100 "
+    "(turbofan rule; exploded long form for value-hash checking)",
+)
+def w5_pad_repeat_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("a")
+    )
+    padded = arr.select("user_id", pad_front_repeat_first("a", 100).alias("pa"))
+    return padded.select(
+        "user_id", F.posexplode("pa").alias("idx0", "v")
+    ).select("user_id", (F.col("idx0") + 1).cast("long").alias("idx"), "v")
+
+
+# --- W6: zero-pad front / keep-last truncate to fixed length (music pad rule) ---
+@register(
+    "w6_pad_truncate_zero",
+    """
+    WITH arr AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS a
+      FROM events GROUP BY user_id),
+    p AS (
+      SELECT user_id,
+             CASE WHEN len(a) >= 50 THEN list_slice(a, len(a) - 49, len(a))
+                  ELSE list_concat(list_transform(range(1, 50 - len(a) + 1), i -> 0.0), a)
+             END AS pa
+      FROM arr)
+    SELECT user_id, generate_subscripts(pa, 1) AS idx, unnest(pa) AS v FROM p
+    """,
+    doc="W6 force length exactly 50: longer keeps LAST rows, shorter "
+    "zero-pads at the front (music rule — intentionally ≠ W5)",
+)
+def w6_pad_truncate_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("a")
+    )
+    padded = arr.select("user_id", pad_or_truncate_front_zero("a", 50).alias("pa"))
+    return padded.select(
+        "user_id", F.posexplode("pa").alias("idx0", "v")
+    ).select("user_id", (F.col("idx0") + 1).cast("long").alias("idx"), "v")

@@ -1,0 +1,377 @@
+"""Relational catalog queries: joins / aggregations / set ops / ranking.
+
+The reference has NONE of these (SURVEY §2.7) — its only key alignment is
+positional. A complete engine needs them, so they are first-class here,
+exercised TPC-H-style on the driver's star schema.
+
+Scale notes baked into each plan:
+- dimension joins (region/nation/supplier/part/customer) are explicitly
+  ``broadcast()`` — at 100 TB the fact tables shuffle, dims never do;
+- aggregations are expressed so partial (map-side) aggregation applies;
+- top-k per group uses window rank, not global sort;
+- AQE handles skew re-splitting at runtime (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.plans.catalog import register
+from aidc_2018_timeseries_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- TPC-H Q1 shape: scan + filter + groupBy aggregate ---
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="pricing summary: filter pushdown + hash aggregate with partial agg",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- TPC-H Q3 shape: 3-way join + group + top-k ---
+@register(
+    "q3_shipping_priority",
+    """
+    WITH agg AS (
+      SELECT l.l_orderkey,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-03-15'
+        AND l.l_shipdate > TIMESTAMP '1996-03-15'
+      GROUP BY l.l_orderkey, o.o_orderdate),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rk FROM agg)
+    SELECT l_orderkey, revenue, orderdate FROM ranked WHERE rk <= 10
+    """,
+    doc="3-way join (customer broadcast) + agg + deterministic top-10",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz")
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .withColumn("orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+    rk = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return (
+        agg.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 10)
+        .select("l_orderkey", "revenue", "orderdate")
+    )
+
+
+# --- TPC-H Q5 shape: 6-way join through the star schema ---
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="local-supplier volume: fact-fact join + 4 broadcast dims",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+# --- semi / anti joins ---
+@register(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="left-anti join (NOT EXISTS)",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "join_semi_parts_ordered",
+    """
+    SELECT COUNT(*) AS n_parts_ordered FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    """,
+    doc="left-semi join (EXISTS) + count",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_parts_ordered"))
+    )
+
+
+# --- grouping sets: rollup / cube ---
+@register(
+    "rollup_lineitem",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (absent in reference; engine-complete)",
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "cube_orders",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS sum_price, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("sum_price"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+# --- manual pivot (CASE aggregation — identical SQL shape both engines) ---
+@register(
+    "pivot_qty_by_status",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_o,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="pivot on linestatus via conditional aggregation",
+)
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2
+        ).alias("qty_o"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2
+        ).alias("qty_f"),
+    )
+
+
+# --- set operations ---
+@register(
+    "setop_active_minus_building",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="EXCEPT set difference (reference only has bag-union O5)",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.subtract(c)  # EXCEPT DISTINCT semantics, matching the oracle
+
+
+@register(
+    "union_distinct_keys",
+    """
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders
+      UNION
+      SELECT c_custkey AS custkey FROM customer) u
+    """,
+    doc="UNION DISTINCT (reference O5 is bag concat; this is the set form)",
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.union(c).distinct()
+
+
+# --- top-k per group via window rank ---
+@register(
+    "topk_lineitems_per_supplier",
+    """
+    WITH r AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+      FROM lineitem)
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+    FROM r WHERE rk <= 3
+    """,
+    doc="top-3 per group by window rank (no global sort)",
+)
+def topk_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# --- sessionization over events (gap-based; streaming sibling in streaming/) ---
+@register(
+    "events_sessionize",
+    """
+    WITH flags AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000000 THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flags)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization (30 min): lag + cumulative sum, one shuffle",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_ns = 30 * 60 * 1_000_000_000
+    flags = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts") - F.lag("ts").over(w) > gap_ns, 1).otherwise(0),
+    )
+    sess = flags.withColumn("session_id", F.sum("new_session").over(cum).cast("long"))
+    return sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# --- JSON scalar extraction from the events props column ---
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON field extraction + aggregate (engine-complete scalar functions)",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )

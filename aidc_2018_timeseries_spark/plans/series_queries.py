@@ -1,0 +1,364 @@
+"""Catalog queries for the series/windowing operator family (SURVEY §2.2-2.5)
+exercised on the driver's ``events`` table as the generic long-format series
+(key=user_id, order=(ts, event_id), value=value — FIXTURES.md §5).
+
+Each query is the DuckDB-checkable face of a package operator; the Spark
+side calls the operator, the oracle re-states the semantics in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.operators import filters, labels, metrics, normalize, shifts, split, windowing
+from aidc_2018_timeseries_spark.plans.catalog import register
+from aidc_2018_timeseries_spark.sources.tables import load_table
+
+KEY, ORDER, VAL = "user_id", ["ts", "event_id"], "value"
+_ORA_WIN = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- W1: overlapping rolling window (reference datasets/timeseries.py:90-115) ---
+@register(
+    "w1_rolling_mean",
+    f"""
+    WITH r AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER ({_ORA_WIN}) AS rn,
+             ROUND(AVG(value) OVER ({_ORA_WIN}
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS win_mean
+      FROM events)
+    SELECT user_id, event_id, win_mean FROM r WHERE rn >= 20
+    """,
+    doc="W1 rolling window (T=20) as trailing mean; partial windows dropped",
+)
+def w1_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = windowing.rolling_window_agg(
+        _events(spark, sf_dir), KEY, ORDER, {"win_mean": F.avg(F.col(VAL))}, seq_len=20
+    )
+    return df.select(KEY, "event_id", F.round(F.col("win_mean"), 6).alias("win_mean"))
+
+
+# --- W2: strided sliding window (reference datasets/turbofan.py:118-163) ---
+@register(
+    "w2_strided_window",
+    f"""
+    WITH r AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER ({_ORA_WIN}) AS rn,
+             ROUND(AVG(value) OVER ({_ORA_WIN}
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS win_mean
+      FROM events)
+    SELECT user_id, event_id, win_mean FROM r
+    WHERE rn >= 20 AND (rn - 20) % 5 = 0
+    """,
+    doc="W2 strided windows (T=20, skip=5): ceil((L-T+1)/skip) windows per series",
+)
+def w2_strided_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = windowing.strided_rolling_window_agg(
+        _events(spark, sf_dir), KEY, ORDER, {"win_mean": F.avg(F.col(VAL))},
+        seq_len=20, skip=5,
+    )
+    return df.select(KEY, "event_id", F.round(F.col("win_mean"), 6).alias("win_mean"))
+
+
+# --- W3 + P5: RUL label generation, capped (reference turbofan.py:142-157) ---
+@register(
+    "w3_rul_label",
+    f"""
+    SELECT user_id, event_id,
+           CAST(LEAST(COUNT(*) OVER (PARTITION BY user_id)
+                      - ROW_NUMBER() OVER ({_ORA_WIN}), 130) AS BIGINT) AS rul
+    FROM events
+    """,
+    doc="W3 RUL label: rows remaining until series end, capped at 130 (P5)",
+)
+def w3_rul_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = labels.rul_label(_events(spark, sf_dir), KEY, ORDER, cap=130)
+    return df.select(KEY, "event_id", "rul")
+
+
+# --- W4: last-window (as-of) extraction (reference turbofan.py:151-153) ---
+@register(
+    "w4_last_window",
+    f"""
+    WITH r AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS rn_from_end
+      FROM events)
+    SELECT user_id, event_id, rn_from_end FROM r WHERE rn_from_end <= 10
+    """,
+    doc="W4 final-T-rows extraction per series (T=10), i.e. top-k per group",
+)
+def w4_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = windowing.last_window(_events(spark, sf_dir), KEY, ORDER, seq_len=10)
+    return df.select(KEY, "event_id", "rn_from_end")
+
+
+# --- W7: tumbling windows + look-ahead target (reference timeseries.py:117-152) ---
+@register(
+    "w7_tumbling_lookahead",
+    f"""
+    WITH base AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER ({_ORA_WIN}) AS rn,
+             LEAD(value, 3) OVER ({_ORA_WIN}) AS y,
+             COUNT(*) OVER (PARTITION BY user_id) AS series_len
+      FROM events),
+    lim AS (
+      SELECT *, CAST(FLOOR((series_len - 3) / 10) * 10 AS BIGINT) AS n_usable FROM base)
+    SELECT user_id, CAST(FLOOR((rn - 1) / 10) AS BIGINT) AS window_id,
+           ROUND(AVG(value), 6) AS x_mean, ROUND(AVG(y), 6) AS y_mean
+    FROM lim WHERE rn <= n_usable
+    GROUP BY user_id, CAST(FLOOR((rn - 1) / 10) AS BIGINT)
+    """,
+    doc="W7 non-overlapping windows (T=10) with look_ahead=3 shifted target",
+)
+def w7_tumbling_lookahead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = windowing.tumbling_windows_with_lookahead(
+        _events(spark, sf_dir), KEY, ORDER, VAL, seq_len=10, look_ahead=3
+    )
+    return df.groupBy(KEY, "window_id").agg(
+        F.round(F.avg("x"), 6).alias("x_mean"), F.round(F.avg("y"), 6).alias("y_mean")
+    )
+
+
+# --- W8: teacher-forcing next-step pairs (reference music.py:22-28) ---
+@register(
+    "w8_teacher_forcing",
+    f"""
+    WITH r AS (
+      SELECT user_id, event_id, value AS x,
+             LEAD(value, 1) OVER ({_ORA_WIN}) AS y_next
+      FROM events)
+    SELECT user_id, event_id, x, y_next FROM r WHERE y_next IS NOT NULL
+    """,
+    doc="W8 lag-1 forecasting pairs (x_t, x_{t+1})",
+)
+def w8_teacher_forcing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = shifts.teacher_forcing_pairs(_events(spark, sf_dir), KEY, ORDER, VAL, shift=1)
+    return df.select(KEY, "event_id", F.col(VAL).alias("x"), "y_next")
+
+
+# --- W9: np.roll wrap-around previous (reference turbofan.py:68,73) ---
+@register(
+    "w9_roll_wraparound",
+    f"""
+    SELECT user_id, event_id,
+           COALESCE(LAG(value, 1) OVER ({_ORA_WIN}),
+                    LAST_VALUE(value) OVER ({_ORA_WIN}
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS prev
+    FROM events
+    """,
+    doc="W9 np.roll(+1) semantics: first row wraps to the series' LAST value",
+)
+def w9_roll_wraparound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = shifts.roll_wrap_previous(_events(spark, sf_dir), KEY, ORDER, VAL)
+    return df.select(KEY, "event_id", "prev")
+
+
+# --- W10: zero-prepended previous (reference turbofan_autoencoder.py:79-88) ---
+@register(
+    "w10_zero_prepend",
+    f"""
+    SELECT user_id, event_id,
+           COALESCE(LAG(value, 1) OVER ({_ORA_WIN}), 0.0) AS prev
+    FROM events
+    """,
+    doc="W10 decoder-input shift: [0, x_0, ..., x_{T-2}]",
+)
+def w10_zero_prepend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = shifts.zero_prepended_previous(_events(spark, sf_dir), KEY, ORDER, VAL)
+    return df.select(KEY, "event_id", "prev")
+
+
+# --- W13: time-ordered train/test split (reference timeseries.py:52-63) ---
+@register(
+    "w13_time_split",
+    """
+    WITH r AS (
+      SELECT event_id,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+             CAST(ROUND(0.8 * COUNT(*) OVER (), 0) AS BIGINT) AS cutoff
+      FROM events)
+    SELECT event_id, CASE WHEN rn <= cutoff THEN 'train' ELSE 'test' END AS split
+    FROM r
+    """,
+    doc="W13 first round(0.8*N) rows (time order) = train, rest = test",
+)
+def w13_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = split.time_ordered_split(_events(spark, sf_dir), ORDER, train_ratio=0.8)
+    return df.select("event_id", "split")
+
+
+# --- A1: per-series max scaling (reference turbofan.py:249-264) ---
+@register(
+    "a1_per_key_max_scale",
+    """
+    SELECT user_id, event_id,
+           ROUND(value / MAX(value) OVER (PARTITION BY user_id), 6) AS value_scaled
+    FROM events
+    """,
+    doc="A1 column / per-series max",
+)
+def a1_per_key_max_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = normalize.per_key_max_scale(_events(spark, sf_dir), KEY, [VAL], suffix="_scaled")
+    return df.select(KEY, "event_id", F.round(F.col("value_scaled"), 6).alias("value_scaled"))
+
+
+# --- A2: trailing-window z-score (reference turbofan.py:225-247) ---
+@register(
+    "a2_window_zscore",
+    f"""
+    WITH r AS (
+      SELECT user_id, event_id, value AS v,
+             ROW_NUMBER() OVER ({_ORA_WIN}) AS rn,
+             AVG(value) OVER ({_ORA_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mu,
+             AVG(value * value) OVER ({_ORA_WIN}
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS m2
+      FROM events),
+    z AS (
+      SELECT user_id, event_id, rn, v, mu,
+             SQRT(GREATEST(m2 - mu * mu, 0.0)) AS sigma
+      FROM r)
+    SELECT user_id, event_id,
+           ROUND((v - mu) / (CASE WHEN sigma <= 1e-9 THEN 1.0 ELSE sigma END), 6) AS value_z
+    FROM z WHERE rn >= 20
+    """,
+    doc="A2 per-window z-score (population σ via E[x²]−E[x]², σ≤eps guard)",
+)
+def a2_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = normalize.trailing_window_zscore(
+        _events(spark, sf_dir), KEY, ORDER, VAL, seq_len=20, out="value_z"
+    )
+    df = windowing.with_row_index(df, KEY, ORDER).filter(F.col("rn") >= 20)
+    return df.select(KEY, "event_id", F.round(F.col("value_z"), 6).alias("value_z"))
+
+
+# --- A5: MSE of a naive trailing-mean forecast (reference squared_L2 / ng.mean) ---
+@register(
+    "a5_mse_naive_forecast",
+    f"""
+    WITH r AS (
+      SELECT value,
+             ROW_NUMBER() OVER ({_ORA_WIN}) AS rn,
+             AVG(value) OVER ({_ORA_WIN} ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS pred
+      FROM events)
+    SELECT ROUND(AVG((value - pred) * (value - pred)), 4) AS mse
+    FROM r WHERE rn > 5
+    """,
+    doc="A5 mean squared error aggregate (pred = trailing-5 mean)",
+)
+def a5_mse_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy(KEY).orderBy(*[F.col(c) for c in ORDER])
+    df = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("pred", F.avg(VAL).over(w.rowsBetween(-5, -1)))
+        .filter(F.col("rn") > 5)
+    )
+    return df.agg(F.round(metrics.mse(F.col(VAL), F.col("pred")), 4).alias("mse"))
+
+
+# --- A6: binary cross-entropy (reference music_forecasting_with_tcn.py:87-90) ---
+@register(
+    "a6_binary_cross_entropy",
+    """
+    WITH r AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 / (1.0 + EXP(-(value - 100.0) / 50.0)) AS p
+      FROM events)
+    SELECT ROUND(AVG(-(y * LN(p) + (1 - y) * LN(1 - p))), 6) AS bce
+    FROM r
+    """,
+    doc="A6 mean binary cross-entropy of a deterministic logistic score",
+)
+def a6_binary_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col(VAL) - 100.0) / 50.0))
+    df = df.select(y.alias("y"), p.alias("p"))
+    return df.agg(F.round(metrics.binary_cross_entropy(F.col("p"), F.col("y")), 6).alias("bce"))
+
+
+# --- A8: trailing-k mean (reference timeseries_trainer.py:108-109) ---
+@register(
+    "a8_trailing_mean",
+    """
+    SELECT event_id,
+           ROUND(AVG(value) OVER (ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS trailing_mean
+    FROM events
+    """,
+    doc="A8 trailing-10 mean over the global sequence (training-loss metric; "
+    "single-partition window is intentional — metric streams are tiny)",
+)
+def a8_trailing_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = metrics.trailing_mean(_events(spark, sf_dir), ORDER, VAL, k=10)
+    return df.select("event_id", F.round(F.col("trailing_mean"), 6).alias("trailing_mean"))
+
+
+# --- P2: backfill null repair (reference turbofan.py:167) ---
+@register(
+    "p2_backfill",
+    f"""
+    WITH holed AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events)
+    SELECT user_id, event_id,
+           FIRST_VALUE(v IGNORE NULLS) OVER ({_ORA_WIN}
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_filled
+    FROM holed
+    """,
+    doc="P2 pandas-bfill: null takes next non-null per series (nulls injected "
+    "deterministically at event_type='error')",
+)
+def p2_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir).withColumn(
+        "v", F.when(F.col("event_type") == "error", None).otherwise(F.col(VAL))
+    )
+    df = filters.backfill(df, KEY, ORDER, "v", out="v_filled")
+    return df.select(KEY, "event_id", "v_filled")
+
+
+# --- P3: min-length series filter (reference timeseries.py:104-105) ---
+@register(
+    "p3_min_length_filter",
+    """
+    WITH lens AS (
+      SELECT user_id, event_id, COUNT(*) OVER (PARTITION BY user_id) AS series_len
+      FROM events)
+    SELECT user_id, event_id FROM lens WHERE series_len >= 50
+    """,
+    doc="P3 drop series shorter than 50 rows",
+)
+def p3_min_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = filters.min_length_filter(_events(spark, sf_dir), KEY, min_len=50)
+    return df.select(KEY, "event_id")
+
+
+# --- O4/P7: take last k of a filtered sub-series (reference utils/inference.py:37-48) ---
+@register(
+    "p7_filtered_last_k",
+    """
+    WITH f AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    r AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      FROM f)
+    SELECT user_id, event_id FROM r WHERE rk <= 5
+    """,
+    doc="P7+O4 membership filter then last-k per series",
+)
+def p7_filtered_last_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir).filter(F.col("event_type") == "click")
+    df = filters.take_last_k(df, KEY, ORDER, k=5)
+    return df.select(KEY, "event_id")

@@ -1,0 +1,59 @@
+"""Catalog queries: similarity search over ``embeddings``.
+
+Brute-force top-k is the oracle-checked baseline; IVF is the approximate
+scale path (rows-only driver check; recall measured against brute force in
+tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.operators import similarity as sim
+from aidc_2018_timeseries_spark.plans.catalog import register
+from aidc_2018_timeseries_spark.sources.tables import load_table
+
+_QUERY_STRIDE = 100  # vectors with vec_id % 100 == 0 act as the query set
+_K = 5
+
+
+def _queries_df(vectors: DataFrame) -> DataFrame:
+    return vectors.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@register(
+    "knn_brute_force",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % {_QUERY_STRIDE} = 0),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_dot_product(v.e, q.qe)
+                   / (SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(q.qe, q.qe))),
+                   6) AS sim
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= {_K}
+    """,
+    doc="exact cosine top-5 per query (query set broadcast, corpus scan-shaped)",
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(v, _queries_df(v), k=_K)
+
+
+@register(
+    "knn_ivf",
+    None,  # approximate: driver rows-only check; recall tested vs brute force
+    doc="IVF approximate top-5: stride centroids, probe 3 cells "
+    "(touches ~n_probe/C of the corpus instead of all of it)",
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(v, _queries_df(v), centroid_stride=50, n_probe=3, k=_K)

@@ -1,0 +1,127 @@
+"""Catalog queries: text analysis over the ``documents`` table.
+
+Oracle-parity conventions: tokenization, stopword lists and hash constants
+are shared between the Spark operators (operators/text.py) and the DuckDB
+SQL generated here (single source of truth for the constants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.functions.hashing import FINGERPRINT_PRIME, hash64_sql
+from aidc_2018_timeseries_spark.operators import text as tx
+from aidc_2018_timeseries_spark.plans.catalog import register
+from aidc_2018_timeseries_spark.sources.tables import load_table
+
+# DuckDB token list for `text` column — must mirror operators/text.tokenize
+_TOKS = tx.tokenize_sql("text")
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# --- token statistics ---
+@register(
+    "text_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks, length(text) AS n_chars FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                 / len(toks), 6) AS mean_token_len,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr
+    FROM t
+    """,
+    doc="token counting: counts, mean token length, type-token ratio",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(tx.mean_token_length("text"), 6).alias("mean_token_len"),
+        F.round(tx.type_token_ratio("text"), 6).alias("ttr"),
+    )
+
+
+# --- quality scoring ---
+@register(
+    "text_quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n,
+             CAST(len(list_filter(toks, x -> x IN ({_in_list(tx.LANG_STOPWORDS["en"])})))
+                  AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct
+      FROM t)
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(n_stop / n * 5.0, 1.0)
+                 + 0.3 * (n_distinct / n)
+                 + 0.3 * (LEAST(n, 200.0) / 200.0), 6) AS quality
+    FROM s
+    """,
+    doc="heuristic quality score: stopword ratio + TTR + length (Gopher/C4-style)",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(tx.quality_score("text"), 6).alias("quality"))
+
+
+# --- language identification ---
+def _langid_oracle() -> str:
+    score = {
+        lang: f"CAST(len(list_filter(toks, x -> x IN ({_in_list(words)}))) AS BIGINT)"
+        for lang, words in tx.LANG_STOPWORDS.items()
+    }
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 {score['en']} AS s_en, {score['de']} AS s_de, {score['es']} AS s_es,
+                 {score['fr']} AS s_fr, {score['zh']} AS s_zh
+          FROM t)
+    SELECT doc_id,
+           CASE WHEN s_en > 0 AND s_en >= GREATEST(s_de, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_de > 0 AND s_de >= GREATEST(s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_es > 0 AND s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+                WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+                WHEN s_zh > 0 THEN 'zh'
+                ELSE 'unknown' END AS lang_pred
+    FROM s
+    """
+
+
+@register(
+    "text_lang_id",
+    _langid_oracle(),
+    doc="stopword-list language ID with deterministic tie-break order",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.lang_id("text").alias("lang_pred"))
+
+
+# --- document fingerprint (rolling hash) ---
+@register(
+    "text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, x -> {hash64_sql('x')} % {FINGERPRINT_PRIME})),
+             (acc, h) -> (acc * 31 + h) % {FINGERPRINT_PRIME}) AS fingerprint
+    FROM t
+    """,
+    doc="order-sensitive rolling-hash document fingerprint (md5-derived, "
+    "bit-identical across engines)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.doc_fingerprint("text").alias("fingerprint"))

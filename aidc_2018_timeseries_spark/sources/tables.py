@@ -1,0 +1,56 @@
+"""Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+
+These play the role of the reference's file scans (SURVEY §2.1 S1-S4): the
+driver's ``events`` table is the generic long-format series (key=user_id,
+order=ts), ``lineitem``/``orders`` the relational side, ``documents`` /
+``embeddings`` the LLM-pipeline side.
+
+Scale posture: plain ``spark.read.parquet`` so Catalyst gets pushdown and
+pruning; no driver-side materialization. The only quirk handled here is the
+nanosecond timestamp physical type in ``events`` (Spark reads it as a long
+when ``spark.sql.legacy.parquet.nanosAsLong=true``, see session.py); we
+expose both the raw ``ts`` nanoseconds (exact, used for ordering and
+DuckDB-parity via ``epoch_ns``) and a derived ``ts_utc`` microsecond
+timestamp for timestamp-typed operations (streaming windows, date_trunc).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.session import configure_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; normalize the events timestamp column."""
+    configure_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ts is raw nanoseconds-since-epoch; keep it (exact ordering, joins)
+        # and add a usable microsecond timestamp for time-window operators.
+        df = df.withColumn("ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view for spark.sql use."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

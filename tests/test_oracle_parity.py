@@ -1,0 +1,104 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+For every catalog query with an oracle: run the Spark plan and the DuckDB
+SQL on the same parquet tables, then compare row count, column names, and
+order-insensitive values (floats compared to 1e-9 relative after the
+queries' own rounding). Catching a mismatch here at sf0.001 is cheap; the
+driver's gate at sf0.01 is the real thing.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from __spark_entry__ import oracle_sql, queries
+from aidc_2018_timeseries_spark.sources.tables import TABLES
+from tests.conftest import SF_DIR
+
+_ORACLES = oracle_sql()
+_QUERIES = queries()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if isinstance(v, int):
+        return int(v)
+    return v
+
+
+def _sort_key(row):
+    return tuple("\x00" if v is None else str(v) for v in row)
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort(key=_sort_key)
+    return [cols[i] for i in order], out
+
+
+def _approx_eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return a == b
+        return math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_parity(name, spark, duck):
+    sdf = _QUERIES[name](spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.sql(_ORACLES[name])
+    duck_cols = res.columns
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+
+    _, s_rows = _normalize(spark_rows, spark_cols)
+    _, d_rows = _normalize(duck_rows, duck_cols)
+    mismatches = []
+    for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+        if not all(_approx_eq(a, b) for a, b in zip(sr, dr)):
+            mismatches.append((i, sr, dr))
+            if len(mismatches) >= 5:
+                break
+    assert not mismatches, f"{name}: value mismatches (first 5): {mismatches}"
+
+
+def test_every_query_has_rows(spark):
+    """Driver's rows-only check for oracle-less queries; also ensures every
+    catalog entry actually executes."""
+    for name, fn in _QUERIES.items():
+        df = fn(spark, SF_DIR)
+        assert df.count() >= 0, name
