@@ -84,6 +84,36 @@ def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
     return F.array(*entries)
 
 
+def minhash_signature_agg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures via explode + aggregate-min — the scale path.
+
+    Each shingle is md5-hashed ONCE in the explode projection; the 16
+    universal hashes are cheap arithmetic per (doc, shingle) row, and the
+    min-aggregation is map-side partial, so only num_hashes values per doc
+    per partition ever shuffle. (The array-expression form recomputes the
+    shingle hashing per hash function × per band — a ~64× expression
+    blow-up that measured 400+s at sf0.1 vs seconds for this form.)
+
+    Docs with no shingles (< n tokens) are dropped — they have no content
+    to near-dup on.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingle_hashes(F.col(text_col), n=shingle_n)).alias("h"),
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"s{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes))
+    ]
+    return exploded.groupBy("doc").agg(*aggs)
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -98,10 +128,16 @@ def minhash_candidate_pairs(
     groupBy that collapses each bucket — the cross product never forms.
     """
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    banded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(minhash_bands(sig, num_bands, rows_per_band)).alias("b"),
+    sigs = minhash_signature_agg(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = []
+    for band in range(num_bands):
+        cols = [F.col(f"s{band * rows_per_band + j}") for j in range(rows_per_band)]
+        band_hash = hash64(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        band_structs.append(
+            F.struct(F.lit(band).alias("band_id"), band_hash.alias("band_hash"))
+        )
+    banded = sigs.select(
+        "doc", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc", "b.band_id", "b.band_hash")
     left = banded.alias("l")
     right = banded.alias("r")

@@ -48,11 +48,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH candidate pairs ---
 def _minhash_oracle() -> str:
+    # docs with no shingles (< n tokens) are excluded, mirroring the
+    # explode-based Spark implementation
     sig_exprs = []
     for i, (a, b) in enumerate(dd._minhash_params(_NUM_HASHES)):
         sig_exprs.append(
-            f"COALESCE(list_min(list_transform(sh30, h -> ({a} * h + {b}) % "
-            f"{dd.MINHASH_PRIME})), {dd.MINHASH_PRIME}) AS s{i}"
+            f"list_min(list_transform(sh30, h -> ({a} * h + {b}) % "
+            f"{dd.MINHASH_PRIME})) AS s{i}"
         )
     rows = _NUM_HASHES // _NUM_BANDS
     band_rows = []
@@ -63,7 +65,7 @@ def _minhash_oracle() -> str:
     bands_union = " UNION ALL ".join(band_rows)
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, {_SH30} AS sh30 FROM t),
+    sh AS (SELECT doc_id, {_SH30} AS sh30 FROM t WHERE len({_SH30}) > 0),
     sigs AS (SELECT doc_id, {", ".join(sig_exprs)} FROM sh),
     bands AS ({bands_union})
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set spans every operator family (windowing pipeline,
+relational joins/aggs, dedup, text, similarity) so a regression anywhere
+shows up here. Each query executes via count() — full plan execution
+without driver-side result materialization costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "turbofan_rul_pipeline",  # flagship: scale → windows → labels
+    "w1_rolling_mean",
+    "a2_window_zscore",
+    "events_sessionize",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "text_fingerprint",
+    "knn_brute_force",
+    "s5_adding_problem",
+]
+
+
+def main() -> None:
+    from aidc_2018_timeseries_spark.session import get_spark
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+
+    load_all()
+    spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
+
+    # warm the JVM + parquet footers so the first query doesn't pay startup
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = CATALOG[name].spark_fn
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
