@@ -19,9 +19,13 @@ def _order_cols(order: str | Sequence[str]) -> list[Column]:
     return [F.col(n) for n in names]
 
 
+def _keys(key: str | Sequence[str]) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
 def backfill(
     df: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     order: str | Sequence[str],
     value_col: str,
     out: str | None = None,
@@ -34,7 +38,7 @@ def backfill(
     local, no shuffle beyond the series partitioning.
     """
     w = (
-        Window.partitionBy(key)
+        Window.partitionBy(*_keys(key))
         .orderBy(*_order_cols(order))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
@@ -44,14 +48,14 @@ def backfill(
 
 def forward_fill(
     df: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     order: str | Sequence[str],
     value_col: str,
     out: str | None = None,
 ) -> DataFrame:
     """P2 sibling: last-observation-carried-forward."""
     w = (
-        Window.partitionBy(key)
+        Window.partitionBy(*_keys(key))
         .orderBy(*_order_cols(order))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -65,7 +69,7 @@ def min_length_filter(
     """P3: drop series shorter than ``min_len`` rows (reference skips
     series with L < seq_len, ``timeseries.py:104-105``). Window count —
     avoids a groupBy+join re-shuffle."""
-    w = Window.partitionBy(key)
+    w = Window.partitionBy(*_keys(key))
     return (
         df.withColumn(len_col, F.count(F.lit(1)).over(w))
         .filter(F.col(len_col) >= min_len)
@@ -103,5 +107,5 @@ def take_last_k(
     """P7/O4: membership filter + keep last k in time order (reference
     ``utils/inference.py:37-48``). Returns rows still in ascending order
     semantics — callers re-sort as needed."""
-    w = Window.partitionBy(key).orderBy(*[c.desc() for c in _order_cols(order)])
+    w = Window.partitionBy(*_keys(key)).orderBy(*[c.desc() for c in _order_cols(order)])
     return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")

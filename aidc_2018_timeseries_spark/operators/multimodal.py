@@ -1,0 +1,97 @@
+"""Multimodal column operators: image/audio/video as opaque binary columns
+with typed metadata (BASELINE.json north star).
+
+The container has no image/audio decode libraries, so the decode kernels
+are STUBS behind import-guards with a deterministic fake fallback — but
+the Spark-side plumbing is real and tested: binary schema, Arrow batch
+shape through mapInPandas, per-partition bounded memory, metadata pushdown.
+
+At 100 TB the pattern is: binary payloads live in parquet alongside typed
+metadata columns; filters run on metadata (pushed to the scan, payloads
+never deserialized); decode/feature-extract runs as Arrow-batched Python
+only on the filtered survivors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # real decoder if available (not in this container)
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def attach_binary_payload(df: DataFrame, src_col: str, out: str = "payload") -> DataFrame:
+    """Treat a column's bytes as an opaque binary payload (for testdata we
+    encode the text column; real data carries image/audio bytes)."""
+    return df.withColumn(out, F.encode(F.col(src_col), "UTF-8"))
+
+
+def binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JVM-side metadata extraction — no Python, scan-shaped: byte length
+    and content digest. This is the filter layer that runs BEFORE any
+    decode at scale."""
+    return df.withColumn("n_bytes", F.octet_length(payload_col).cast("long")).withColumn(
+        "sha256", F.sha2(F.col(payload_col), 256)
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic fake 'image' decode: dimensions and mean intensity
+    derived from the bytes. Real decode (PIL) raises NotImplementedError
+    until the dependency exists — clearly marked stub per the brief."""
+    if _HAS_PIL:
+        raise NotImplementedError("real image decode: wire PIL.Image.open here")
+    n = len(payload)
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    mean_intensity = (sum(payload[:256]) / max(min(n, 256), 1)) / 255.0
+    return width, height, 3, mean_intensity
+
+
+def decode_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched decode via mapInPandas: the real production shape —
+    batches of binary payloads stream through Python workers, output is a
+    typed metadata frame. Swap _fake_decode for a real kernel without
+    touching the plan."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(rows, columns=["width", "height", "n_channels", "mean_intensity"])
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+def frame_sample_stub(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", every_n: int = 10
+) -> DataFrame:
+    """Video frame-sampling stub: emits (id, frame_idx) rows for frames
+    0, n, 2n, ... where the fake frame count derives from payload length.
+    Real implementation would demux with pyav — gated the same way."""
+    n_frames = (F.octet_length(payload_col) % 100 + 1).cast("int")
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    return df.select(F.col(id_col), F.explode(idx).alias("frame_idx"))

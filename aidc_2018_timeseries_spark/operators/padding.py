@@ -11,7 +11,9 @@ Both are pure higher-order array expressions — no UDF, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -29,6 +31,48 @@ def pad_front_repeat_first(arr: Column | str, target_len: int) -> Column:
     pad_n = F.greatest(F.lit(target_len) - F.size(a), F.lit(0))
     pad = F.transform(F.sequence(F.lit(1), pad_n), lambda _: F.element_at(a, 1))
     return F.when(F.size(a) >= target_len, a).otherwise(F.concat(pad, a))
+
+
+def pad_short_series_front_repeat_long(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value_cols: Sequence[str],
+    target_len: int,
+) -> DataFrame:
+    """W5 in LONG format: series shorter than ``target_len`` get synthetic
+    leading rows that copy the series' first row (reference
+    ``turbofan.py:133-138`` pads to T*skip before windowing).
+
+    ``df`` must contain exactly (key, order, value_cols); ``order`` must be
+    numeric — pad rows take order values min(order) - 1 .. min(order) - n,
+    so they sort strictly before the real rows.
+
+    Scale: one window pass to find per-series length/first-row, pad rows
+    are generated from one row per short series (explode of a sequence) —
+    no shuffle beyond the series partitioning, and the union is free
+    (narrow).
+    """
+    cols = [key, order, *value_cols]
+    w = Window.partitionBy(key)
+    first_w = Window.partitionBy(key).orderBy(F.col(order))
+    annotated = (
+        df.select(*cols)
+        .withColumn("_len", F.count(F.lit(1)).over(w))
+        .withColumn("_rn", F.row_number().over(first_w))
+    )
+    firsts = annotated.filter((F.col("_rn") == 1) & (F.col("_len") < target_len))
+    pads = firsts.select(
+        key,
+        F.explode(F.sequence(F.lit(1), F.lit(target_len) - F.col("_len"))).alias("_j"),
+        F.col(order).alias("_first_order"),
+        *value_cols,
+    ).select(
+        key,
+        (F.col("_first_order") - F.col("_j")).alias(order),
+        *value_cols,
+    )
+    return df.select(*cols).unionByName(pads)
 
 
 def pad_or_truncate_front_zero(arr: Column | str, target_len: int, zero: Column | None = None) -> Column:

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aidc_2018_timeseries_spark.operators.normalize import per_key_max_scale
+from aidc_2018_timeseries_spark.operators.padding import pad_short_series_front_repeat_long
+from aidc_2018_timeseries_spark.operators.windowing import last_window, rolling_window_arrays
 
 
 def rul_window_features(
@@ -58,3 +60,83 @@ def rul_window_features(
         )
     )
     return out
+
+
+def turbofan_train_windows(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    seq_len: int = 50,
+    skip: int = 1,
+    cap: int = 130,
+    key: str = "trajectory_id",
+    order: str = "t",
+    scale: bool = True,
+) -> DataFrame:
+    """Full-fidelity reference train pipeline on CMAPSS long format:
+    A1 scale → W5 pad short series to T*skip → W2 strided windows →
+    W3 capped RUL labels.
+
+    Output: (key, rn, window array<struct<features>>, rul). Window count
+    per series = ceil((L_padded - T + 1) / skip); labels follow
+    ``y = L - T - k*skip`` capped (reference ``turbofan.py:118-163``).
+    """
+    if scale:
+        df = per_key_max_scale(df, key, list(feature_cols), suffix="")
+    df = df.select(key, order, *feature_cols)
+    df = pad_short_series_front_repeat_long(df, key, order, feature_cols, seq_len * skip)
+    windows = rolling_window_arrays(df, key, order, feature_cols, seq_len)
+    # label of each window's END row is a function of (series_len, rn);
+    # max(rn) over the series == series length, so no re-join is needed
+    from pyspark.sql import Window as W
+
+    windows = windows.withColumn("_sl", F.max("rn").over(W.partitionBy(key)))
+    return (
+        windows.filter(((F.col("rn") - seq_len) % skip) == 0)
+        .withColumn("rul", F.least(F.col("_sl") - F.col("rn"), F.lit(cap)).cast("long"))
+        .drop("_sl")
+    )
+
+
+def turbofan_val_windows(
+    df: DataFrame,
+    rul_df: DataFrame,
+    feature_cols: Sequence[str],
+    seq_len: int = 50,
+    cap: int = 130,
+    key: str = "trajectory_id",
+    order: str = "t",
+    ordinal_col: str = "trajectory_ordinal",
+    scale: bool = True,
+) -> DataFrame:
+    """Validation mode (``augment_test_data=False``): the LAST seq_len rows
+    of each trajectory form ONE window; its label is the file-provided base
+    RUL (positional join made explicit via the trajectory ordinal), capped.
+
+    Short trajectories are front-padded by repeating the first row
+    (reference pads to T*skip with skip=1 here).
+    """
+    if scale:
+        df = per_key_max_scale(df, key, list(feature_cols), suffix="")
+    df = df.select(key, order, *feature_cols)
+    df = pad_short_series_front_repeat_long(df, key, order, feature_cols, seq_len)
+    tail = last_window(df, key, order, seq_len)
+    windows = (
+        tail.groupBy(key)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(order, *feature_cols))),
+                lambda s: F.struct(*[s[c].alias(c) for c in feature_cols]),
+            ).alias("window")
+        )
+    )
+    # trajectory ordinal = rank of the key in file order (keys ascend)
+    from pyspark.sql import Window as W
+
+    ordinals = df.select(key).distinct().withColumn(
+        ordinal_col, F.row_number().over(W.orderBy(F.col(key)))
+    )
+    windows = windows.join(F.broadcast(ordinals), key)
+    labeled = windows.join(F.broadcast(rul_df), ordinal_col)
+    return labeled.withColumn(
+        "rul", F.least(F.col("base_rul"), F.lit(cap)).cast("long")
+    ).select(key, "window", "rul")

@@ -52,4 +52,5 @@ def load_all() -> None:
         text_queries,
         similarity_queries,
         pipeline_queries,
+        multimodal_queries,
     )

@@ -1,0 +1,44 @@
+"""Catalog queries: multimodal binary-column plumbing over documents
+(payload = utf8 bytes of text in the testdata; real data carries media
+bytes — the plan shape is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aidc_2018_timeseries_spark.operators.multimodal import (
+    attach_binary_payload,
+    binary_metadata,
+    decode_images,
+)
+from aidc_2018_timeseries_spark.plans.catalog import register
+from aidc_2018_timeseries_spark.sources.tables import load_table
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    doc="JVM-side binary metadata (length + sha256) — the pre-decode filter "
+    "layer; payloads never reach Python",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = binary_metadata(attach_binary_payload(d, "text"))
+    return d.select("doc_id", "n_bytes", "sha256")
+
+
+@register(
+    "multimodal_decode_stub",
+    None,  # Python-side deterministic fake decode → rows-only check
+    doc="Arrow-batched image-decode plumbing (mapInPandas); decode kernel "
+    "stubbed deterministically (no media libs in container)",
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return decode_images(attach_binary_payload(d, "text"))

@@ -1,0 +1,96 @@
+"""ML-stage (TCN inference) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.ml.tcn import (
+    TCNWeights,
+    causal_dilated_conv,
+    predict_windows,
+    tcn_forward,
+    weight_normalized,
+)
+from aidc_2018_timeseries_spark.operators.multimodal import (
+    attach_binary_payload,
+    binary_metadata,
+    decode_images,
+    frame_sample_stub,
+)
+from aidc_2018_timeseries_spark.operators.windowing import rolling_window_arrays
+from aidc_2018_timeseries_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_causal_conv_is_causal():
+    """out[t] must not depend on x[t'] for t' > t."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(12, 2))
+    w = rng.normal(size=(3, 2, 4))
+    b = np.zeros(4)
+    base = causal_dilated_conv(x, w, b, dilation=2)
+    x2 = x.copy()
+    x2[8:, :] += 100.0  # perturb the future
+    pert = causal_dilated_conv(x2, w, b, dilation=2)
+    np.testing.assert_allclose(base[:8], pert[:8], rtol=1e-12)
+    assert not np.allclose(base[8:], pert[8:])
+
+
+def test_weight_norm_formula():
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=(3, 2, 4))
+    g = rng.normal(size=(1, 1, 4))
+    w = weight_normalized(v, g)
+    want = g * v / np.sqrt((v**2).mean(axis=(0, 1), keepdims=True) + 1e-3)
+    np.testing.assert_allclose(w, want, rtol=1e-12)
+
+
+def test_distributed_tcn_matches_local(spark):
+    """mapInPandas inference == pure-NumPy forward on collected windows."""
+    rng = np.random.default_rng(5)
+    rows = [
+        (sid, t, float(v0), float(v1))
+        for sid in (1, 2)
+        for t, (v0, v1) in enumerate(rng.normal(size=(25, 2)))
+    ]
+    df = spark.createDataFrame(rows, "series_id int, t int, f0 double, f1 double")
+    windows = rolling_window_arrays(df, "series_id", "t", ["f0", "f1"], seq_len=8)
+    weights = TCNWeights(n_features=2, n_hidden=4, levels=2, kernel_size=3)
+    preds = {
+        (r["series_id"], r["rn"]): r["pred"]
+        for r in predict_windows(windows, weights).collect()
+    }
+    local = {}
+    for r in windows.collect():
+        x = np.array([[e["f0"], e["f1"]] for e in r["window"]])
+        local[(r["series_id"], r["rn"])] = tcn_forward(x, weights)
+    assert preds.keys() == local.keys()
+    for k in preds:
+        assert preds[k] == pytest.approx(local[k], rel=1e-9)
+
+
+def test_binary_metadata_and_decode(spark):
+    d = load_table(spark, SF_DIR, "documents").limit(50)
+    meta = binary_metadata(attach_binary_payload(d, "text"))
+    rows = meta.select("doc_id", "n_bytes", "sha256", "text").collect()
+    import hashlib
+
+    for r in rows[:10]:
+        assert r["n_bytes"] == len(r["text"].encode())
+        assert r["sha256"] == hashlib.sha256(r["text"].encode()).hexdigest()
+
+    decoded = decode_images(attach_binary_payload(d, "text")).collect()
+    assert len(decoded) == 50
+    for r in decoded:
+        assert r["width"] >= 16 and r["height"] >= 16 and r["n_channels"] == 3
+        assert 0.0 <= r["mean_intensity"] <= 1.0
+
+
+def test_frame_sample_stub(spark):
+    d = load_table(spark, SF_DIR, "documents").limit(10)
+    frames = frame_sample_stub(attach_binary_payload(d, "text"), every_n=7)
+    rows = frames.groupBy("doc_id").agg(F.max("frame_idx").alias("m"), F.count(F.lit(1)).alias("n")).collect()
+    for r in rows:
+        assert r["m"] % 7 == 0 and r["n"] == r["m"] // 7 + 1

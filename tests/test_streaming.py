@@ -1,0 +1,77 @@
+"""Streaming replay test: the batch result over the static events table is
+the golden reference; the same plan executed as a file stream
+(availableNow trigger, memory sink) must produce identical rows.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from aidc_2018_timeseries_spark.sources.tables import load_table
+from aidc_2018_timeseries_spark.streaming.windows import (
+    sessionize_stream,
+    windowed_event_aggregate,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_sliding_window_stream_matches_batch(spark, stream_dir):
+    from pyspark.sql import functions as F
+
+    static = load_table(spark, SF_DIR, "events")
+    golden = sorted(
+        map(
+            tuple,
+            windowed_event_aggregate(
+                static, window="6 hours", slide="2 hours"
+            ).collect(),
+        )
+    )
+
+    stream = (
+        spark.readStream.schema(static.drop("ts_utc").schema)
+        .parquet(stream_dir)
+        .withColumn("ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    result = _run_stream(
+        spark,
+        windowed_event_aggregate(stream, window="6 hours", slide="2 hours"),
+        "sliding_agg",
+    )
+    got = sorted(map(tuple, result.collect()))
+    assert got == golden
+
+
+def test_session_window_stream_runs(spark, stream_dir):
+    from pyspark.sql import functions as F
+
+    static = load_table(spark, SF_DIR, "events")
+    stream = (
+        spark.readStream.schema(static.drop("ts_utc").schema)
+        .parquet(stream_dir)
+        .withColumn("ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    result = _run_stream(spark, sessionize_stream(stream), "sessions")
+    batch = sessionize_stream(static)
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
