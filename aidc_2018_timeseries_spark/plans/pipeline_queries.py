@@ -89,6 +89,36 @@ def s5_adding_problem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("sample_id", "pos1", "pos2", "label")
 
 
+# --- W14: autoregressive generation (non-SQL — rows-only check) ---
+@register(
+    "w14_autoregressive_generation",
+    None,  # sequential per series; excluded from the SQL-oracle suite (SURVEY §7)
+    doc="W14 autoregressive generation: seed window → predict → slide → "
+    "feed back, per series via applyInPandas (parallel across series)",
+)
+def w14_autoregressive_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.ml.autoregressive import autoregressive_generate
+
+    ev = load_table(spark, sf_dir, "events")
+    return autoregressive_generate(
+        ev, "user_id", ["ts", "event_id"], "value", seq_len=10, n_steps=5
+    )
+
+
+# --- O2: seeded shuffle (order not hash-checkable — rows-only) ---
+@register(
+    "o2_seeded_shuffle",
+    None,  # RNG parity with NumPy impossible (SURVEY §7); rows-only check
+    doc="O2 seeded random permutation via orderBy(rand(seed)); X/y stay "
+    "aligned because they are columns of one row",
+)
+def o2_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.split import seeded_shuffle
+
+    ev = load_table(spark, sf_dir, "events")
+    return seeded_shuffle(ev.select("event_id", "user_id", "value"), seed=42)
+
+
 # --- W5: front-pad by repeating the first row (turbofan pad rule) ---
 @register(
     "w5_pad_repeat_first",
