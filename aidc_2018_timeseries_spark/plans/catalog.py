@@ -53,4 +53,5 @@ def load_all() -> None:
         similarity_queries,
         pipeline_queries,
         multimodal_queries,
+        join_queries,
     )

@@ -1,0 +1,144 @@
+"""Catalog queries for time-series joins (as-of, range) over ``events``.
+
+DuckDB has native ``ASOF JOIN``; Spark does not — our union-merge
+formulation (operators/joins.py) is the scale path and DuckDB's native
+operator is the independent oracle, which makes these the strongest
+cross-checks in the catalog (two genuinely different algorithms).
+
+Precision: Spark reads events.ts as exact bigint NANOseconds, but DuckDB's
+parquet scan coerces TIMESTAMP(NANOS) to a microsecond TIMESTAMP — so every
+time comparison and gap here is computed in the MICROsecond domain on both
+sides (Spark: floor(ts/1000); DuckDB: epoch_us). Comparing at mixed
+precision would flip matches whenever two events share a microsecond.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.operators.joins import (
+    asof_join,
+    range_join_points_to_intervals,
+)
+from aidc_2018_timeseries_spark.plans.catalog import register
+from aidc_2018_timeseries_spark.sources.tables import load_table
+
+_TEN_MIN_US = 600 * 10**6
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "asof_join_click_error",
+    """
+    WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+         e AS (SELECT user_id, event_id AS error_event_id, ts FROM events
+               WHERE event_type = 'error')
+    SELECT c.user_id, c.event_id, e.error_event_id,
+           epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+    FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+    doc="as-of join: most recent prior error per click, per user "
+    "(union-merge Spark plan vs DuckDB native ASOF JOIN)",
+)
+def asof_join_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ts_us = F.expr("ts div 1000").alias("ts_us")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", ts_us)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_event_id"), ts_us
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="ts_us",
+        right_cols=["error_event_id"],
+        matched_ts_col="error_ts_us",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "error_event_id",
+        (F.col("ts_us") - F.col("error_ts_us")).alias("gap_us"),
+    )
+
+
+@register(
+    "asof_join_purchase_signup_tol",
+    """
+    WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, value AS signup_value, ts FROM events
+               WHERE event_type = 'signup')
+    SELECT p.user_id, p.event_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(s.ts) <= 86400000000
+                THEN s.signup_value END AS signup_value
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc="as-of join with 24h tolerance: signup value attached to purchases "
+    "(tolerance nulls the match, rows are kept — pandas merge_asof semantics)",
+)
+def asof_join_purchase_signup_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ts_us = F.expr("ts div 1000").alias("ts_us")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", ts_us
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("value").alias("signup_value"), ts_us
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts_us",
+        right_cols=["signup_value"],
+        tolerance=24 * 3600 * 10**6,
+    )
+    return out.select("user_id", "event_id", "signup_value")
+
+
+@register(
+    "range_join_error_followups",
+    """
+    WITH e AS (SELECT user_id, event_id AS error_event_id, ts FROM events
+               WHERE event_type = 'error'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT e.error_event_id, COUNT(*) AS n_clicks,
+           ROUND(SUM(c.value), 6) AS click_value
+    FROM e JOIN c ON c.user_id = e.user_id
+       AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.error_event_id
+    """,
+    doc="range join (bucketed equi-join plan): clicks within 10min after "
+    "each error, aggregated per error",
+)
+def range_join_error_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ts_us = F.expr("ts div 1000")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_event_id"),
+        ts_us.alias("t_start"),
+        (ts_us + F.lit(_TEN_MIN_US)).alias("t_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", ts_us.alias("ts_us"), "value"
+    )
+    joined = range_join_points_to_intervals(
+        clicks,
+        errors,
+        point_col="ts_us",
+        start_col="t_start",
+        end_col="t_end",
+        on="user_id",
+        bucket_width=_TEN_MIN_US,
+        closed="left",
+    )
+    return joined.groupBy("error_event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 6).alias("click_value"),
+    )

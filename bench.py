@@ -32,6 +32,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "asof_join_click_error",
+    "range_join_error_followups",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
