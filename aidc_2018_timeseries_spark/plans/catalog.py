@@ -54,4 +54,5 @@ def load_all() -> None:
         pipeline_queries,
         multimodal_queries,
         join_queries,
+        streaming_queries,
     )

@@ -1,0 +1,28 @@
+"""Catalog face of the stateful streaming operators.
+
+The driver's correctness harness runs batch queries; the entry here is the
+batch sibling of the streaming EWMA detector (identical recurrence, same
+code path for the math — tests/test_stateful_streaming.py proves the
+stream replay equals this batch form). No oracle: an exponentially
+weighted recurrence is not ANSI-SQL-expressible without recursive CTEs,
+so the driver records the rows-only check (SURVEY §7 contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aidc_2018_timeseries_spark.plans.catalog import register
+from aidc_2018_timeseries_spark.sources.tables import load_table
+from aidc_2018_timeseries_spark.streaming.stateful import ewma_anomaly_batch
+
+
+@register(
+    "streaming_ewma_anomaly",
+    None,
+    doc="per-user EWMA anomaly flags (batch face of the "
+    "applyInPandasWithState streaming operator; rows-only check)",
+)
+def streaming_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return ewma_anomaly_batch(ev, alpha=0.1, k=3.0)

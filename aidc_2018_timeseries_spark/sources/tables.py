@@ -46,7 +46,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ts is raw nanoseconds-since-epoch; keep it (exact ordering, joins)
         # and add a usable microsecond timestamp for time-window operators.
-        df = df.withColumn("ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer 'div', NOT '/': double division loses ulps above 2^53,
+        # and epoch nanos (~1.7e18) are far past that.
+        df = df.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -52,7 +52,7 @@ def test_sliding_window_stream_matches_batch(spark, stream_dir):
     stream = (
         spark.readStream.schema(static.drop("ts_utc").schema)
         .parquet(stream_dir)
-        .withColumn("ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
     )
     result = _run_stream(
         spark,
@@ -70,7 +70,7 @@ def test_session_window_stream_runs(spark, stream_dir):
     stream = (
         spark.readStream.schema(static.drop("ts_utc").schema)
         .parquet(stream_dir)
-        .withColumn("ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
     )
     result = _run_stream(spark, sessionize_stream(stream), "sessions")
     batch = sessionize_stream(static)
