@@ -362,3 +362,91 @@ def p7_filtered_last_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events(spark, sf_dir).filter(F.col("event_type") == "click")
     df = filters.take_last_k(df, KEY, ORDER, k=5)
     return df.select(KEY, "event_id")
+
+
+def _sorted_series_array(df: DataFrame) -> DataFrame:
+    """(user_id, seq array<double>) with seq in (ts, event_id) order.
+
+    collect_list is order-nondeterministic, so sort structs of
+    (order cols..., value) after collecting — array_sort on structs is
+    lexicographic by field position. Whole-series arrays are bounded by
+    the longest single key (same contract as applyInPandas per key);
+    stays partition-local, one shuffle.
+    """
+    packed = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in ORDER], F.col(VAL).alias("v")))
+    )
+    lam = lambda x: x["v"]  # noqa: E731
+    return df.groupBy(KEY).agg(F.transform(packed, lam).alias("seq"))
+
+
+# --- P4/A4: all-zero-window filter (reference timeseries.py:154-167) ---
+@register(
+    "p4_zero_window_filter",
+    f"""
+    WITH r AS (
+      SELECT user_id,
+             CASE WHEN user_id % 7 = 0 THEN 0.0 ELSE value END AS v,
+             ROW_NUMBER() OVER ({_ORA_WIN}) AS rn
+      FROM events),
+    w AS (
+      SELECT user_id, CAST(FLOOR((rn - 1) / 10) AS BIGINT) AS window_id,
+             SUM(ABS(v)) AS abs_sum, COUNT(*) AS n
+      FROM r GROUP BY 1, 2)
+    SELECT user_id, window_id, ROUND(abs_sum, 6) AS abs_sum
+    FROM w WHERE n = 10 AND abs_sum > 1e-12
+    """,
+    doc="P4 batch-norm NaN guard: tumbling windows (T=10) whose total |mass| "
+    "≤ eps are dropped (users ≡0 mod 7 zeroed to make the filter bite)",
+)
+def p4_zero_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "v", F.when(F.col(KEY) % 7 == 0, F.lit(0.0)).otherwise(F.col(VAL))
+    )
+    df = windowing.tumbling_window_id(ev, KEY, ORDER, seq_len=10)
+    arrs = df.groupBy(KEY, "window_id").agg(
+        F.collect_list(F.array(F.col("v"))).alias("w"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    kept = filters.drop_zero_windows(arrs.filter(F.col("n") == 10), "w")
+    return kept.select(
+        KEY,
+        "window_id",
+        F.round(filters.zero_window_abs_sum(F.flatten(F.col("w"))), 6).alias("abs_sum"),
+    )
+
+
+# --- W11: sequence reversal (reference turbofan_autoencoder.py:80-83) ---
+@register(
+    "w11_reverse_sequence",
+    """
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) - 1
+             AS pos,
+           value AS v
+    FROM events
+    """,
+    doc="W11 backward target Xs[::-1]: whole series reversed as an array, "
+    "emitted exploded (pos = 0-based index in the reversed sequence)",
+)
+def w11_reverse_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs = _sorted_series_array(_events(spark, sf_dir))
+    rev = seqs.select(KEY, F.posexplode(shifts.reverse_sequence("seq")).alias("pos", "v"))
+    return rev.select(KEY, F.col("pos").cast("long").alias("pos"), "v")
+
+
+# --- W12: last-timepoint slice (reference turbofan_with_tcn.py:79) ---
+@register(
+    "w12_last_timepoint",
+    """
+    WITH r AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events)
+    SELECT user_id, value AS last_value FROM r WHERE rk = 1
+    """,
+    doc="W12 element_at(seq, -1): keep only t = T-1 of each series sequence",
+)
+def w12_last_timepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs = _sorted_series_array(_events(spark, sf_dir))
+    return seqs.select(KEY, shifts.last_timepoint("seq").alias("last_value"))
