@@ -143,3 +143,94 @@ def embedding_cosine_dup_pairs(
     pairs = left.join(right, F.col("id_a") < F.col("id_b"))
     sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
     return pairs.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
+
+
+def random_hyperplanes(
+    spark, dim: int, n_tables: int, n_bits: int, seed: int = 7
+) -> DataFrame:
+    """Deterministic Gaussian hyperplanes for sign-LSH: one row per
+    (table_id, bit_idx) with a length-``dim`` plane. Tiny (n_tables·n_bits
+    rows) — always broadcast."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = [
+        (t, b, [float(x) for x in rng.randn(dim)])
+        for t in range(n_tables)
+        for b in range(n_bits)
+    ]
+    return spark.createDataFrame(rows, "table_id INT, bit_idx INT, plane ARRAY<DOUBLE>")
+
+
+def lsh_signatures(
+    vectors: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table_id, bucket): per table, pack sign(v·plane) bits into a
+    bigint bucket key. Cosine-LSH property: P[bit match] = 1 − θ/π, so
+    near-duplicate vectors collide in some table with high probability.
+
+    Plan shape: broadcast the planes, explode each vector into
+    n_tables·n_bits scored rows, pack via groupBy(id, table) — one shuffle
+    keyed by vector id, corpus never self-joined."""
+    scored = vectors.crossJoin(F.broadcast(planes)).select(
+        F.col(id_col),
+        "table_id",
+        # F.shiftleft only takes a literal bit count; the SQL form accepts a
+        # column for the per-row bit position.
+        (
+            (dot(F.col(vec_col), F.col("plane")) > 0).cast("long")
+            * F.expr("CAST(shiftleft(1, bit_idx) AS BIGINT)")
+        ).alias("bit"),
+    )
+    return scored.groupBy(id_col, "table_id").agg(F.sum("bit").alias("bucket"))
+
+
+def rp_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_tables: int = 8,
+    n_bits: int = 10,
+    k: int = 5,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH (the bucketed
+    sibling of ivf_topk; brief: "IVF or LSH-bucketed variant").
+
+    Candidates = corpus vectors sharing ANY table's bucket with the query
+    (equi-join on (table_id, bucket) — a shuffled hash join over posting
+    lists, never a cross product), then exact rescoring + top-k. Recall
+    grows with n_tables, candidate cost with 2^-n_bits; both knobs are
+    per-deployment. Approximate ⇒ driver rows-only check; recall vs brute
+    force is pinned in tests/test_similarity.py."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = random_hyperplanes(vectors.sparkSession, dim, n_tables, n_bits, seed)
+    sig_v = lsh_signatures(vectors, planes, id_col, vec_col)
+    sig_q = lsh_signatures(queries, planes, query_id_col, query_vec_col)
+    cand = (
+        sig_q.join(sig_v, ["table_id", "bucket"])
+        .select(query_id_col, id_col)
+        .distinct()
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    scored = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "sim")
+    )

@@ -57,3 +57,14 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings")
     return sim.ivf_topk(v, _queries_df(v), centroid_stride=50, n_probe=3, k=_K)
+
+
+@register(
+    "knn_rp_lsh",
+    None,  # approximate: driver rows-only check; recall tested vs brute force
+    doc="random-hyperplane LSH approximate top-5: sign-bit buckets in 16 "
+    "tables, candidates equi-joined on (table, bucket), exact rescoring",
+)
+def knn_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings")
+    return sim.rp_lsh_topk(v, _queries_df(v), n_tables=16, n_bits=5, k=_K)
