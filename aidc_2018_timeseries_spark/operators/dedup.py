@@ -2,8 +2,8 @@
 embedding-cosine (BASELINE.json north star — first-class at 100 TB).
 
 Design for scale:
-- exact dedup = hash-groupBy: one shuffle on a 128-bit content hash; the
-  canonical-id choice (min id) is a plain aggregate with map-side partial.
+- exact dedup = one shuffle on a 128-bit content hash; the canonical-id
+  (min id) is a window-min within each hash partition — no join-back.
 - MinHash+LSH: per-doc signature is scan-local (no shuffle); candidate
   generation shuffles only (band_id, band_hash) keys — never the cross
   product. Verification re-joins only candidate pairs. This is the standard
@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aidc_2018_timeseries_spark.functions.hashing import hash64
@@ -58,8 +58,12 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     norm = F.concat_ws(" ", tokenize(F.col(text_col)))
     hashed = _spread(df, id_col).select(F.col(id_col), F.md5(norm).alias("content_hash"))
-    canon = hashed.groupBy("content_hash").agg(F.min(id_col).alias("canonical_id"))
-    return hashed.join(canon, "content_hash").select(id_col, "canonical_id")
+    # window-min instead of groupBy + join-back: one shuffle on the content
+    # hash assigns every doc its group's canonical id in the same pass.
+    w = Window.partitionBy("content_hash")
+    return hashed.select(
+        id_col, F.min(id_col).over(w).alias("canonical_id")
+    )
 
 
 def minhash_signature(

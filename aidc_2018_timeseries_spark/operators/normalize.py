@@ -21,11 +21,29 @@ from pyspark.sql import functions as F
 
 
 def per_key_max_scale(
-    df: DataFrame, key: str, cols: Sequence[str], suffix: str = "_scaled"
+    df: DataFrame,
+    key: str,
+    cols: Sequence[str],
+    suffix: str = "_scaled",
+    order: Sequence[str] | None = None,
 ) -> DataFrame:
     """A1: x / max(x) per series per column (reference
-    ``turbofan.py:249-264``: ``traj / traj.max(axis=0)``)."""
-    w = Window.partitionBy(key)
+    ``turbofan.py:249-264``: ``traj / traj.max(axis=0)``).
+
+    Pass ``order`` when composing with ordered window ops downstream: the
+    max is then computed over an unbounded frame of the SAME window spec
+    (identical result), letting Catalyst satisfy every window in the chain
+    with one sort instead of sorting once for the unordered spec and again
+    for the ordered ones.
+    """
+    if order:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(*[F.col(c) for c in order])
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+    else:
+        w = Window.partitionBy(key)
     out = df
     for c in cols:
         out = out.withColumn(c + suffix, F.col(c) / F.max(F.col(c)).over(w))

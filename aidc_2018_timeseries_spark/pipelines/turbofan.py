@@ -43,7 +43,7 @@ def rul_window_features(
     order_names = [order] if isinstance(order, str) else list(order)
     order_cols = [F.col(c) for c in order_names]
 
-    df = per_key_max_scale(df, key, [value_col])
+    df = per_key_max_scale(df, key, [value_col], order=order_names)
     scaled = F.col(value_col + "_scaled")
 
     w = Window.partitionBy(key).orderBy(*order_cols)
