@@ -189,3 +189,33 @@ def range_join_points_to_intervals(
     cond = (F.col(point_col) >= F.col(start_col)) & end_pred
     joined = p.join(i, on=[*keys, "_bucket"], how="inner").filter(cond)
     return joined.drop("_bucket")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: scatter the big side's hot keys across
+    ``n_salts`` sub-keys and replicate the small side once per salt, so no
+    single reducer receives a whole hot key's rows.
+
+    Use when a shuffle join skews on a few heavy keys AND the small side is
+    too big to broadcast (the first resort) — the standard salting
+    pattern; AQE's skew-join split only rescues sort-merge joins whose
+    skew is visible at shuffle-size level, while salting also fixes
+    downstream per-key windowing built on the join's partitioning.
+
+    Cost: small side × n_salts replication; result is row-identical to a
+    plain join (salt never leaks into output).
+    """
+    keys = _keys(on)
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    salted_small = small.select("*", salts)
+    out = salted_big.join(salted_small, on=[*keys, "_salt"], how=how)
+    return out.drop("_salt")

@@ -155,3 +155,23 @@ def test_range_join_matches_bruteforce(spark, closed, bucket_width):
     assert sorted(map(tuple, got.values)) == sorted(map(tuple, want.values))
     # bucketing must never duplicate a (point, interval) pair
     assert len(got) == len(got.drop_duplicates())
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_equals_plain_join(spark, how):
+    from aidc_2018_timeseries_spark.operators.joins import salted_join
+
+    rng = np.random.RandomState(5)
+    # heavy skew: half the big side lands on key 0
+    keys = np.where(rng.rand(2000) < 0.5, 0, rng.randint(1, 40, 2000))
+    big = pd.DataFrame({"k": keys, "x": np.arange(2000)})
+    small = pd.DataFrame({"k": np.arange(0, 50), "y": np.arange(0, 50) * 10})
+    got = (
+        salted_join(spark.createDataFrame(big), spark.createDataFrame(small), "k", n_salts=8, how=how)
+        .select("k", "x", "y")
+        .toPandas()
+    )
+    want = big.merge(small, on="k", how=how)
+    assert sorted(map(tuple, got.fillna(-1).values)) == sorted(
+        map(tuple, want.fillna(-1).values)
+    )
