@@ -55,4 +55,5 @@ def load_all() -> None:
         multimodal_queries,
         join_queries,
         streaming_queries,
+        agg_queries,
     )

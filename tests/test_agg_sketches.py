@@ -1,0 +1,39 @@
+"""Error-bound tests for the approximate aggregates (the catalog checks
+the exact ones against DuckDB; sketches need tolerance assertions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx"] - r["exact"]) / max(r["exact"], 1)
+        # rsd=0.02 is one standard deviation; 5x is a generous determinism-
+        # safe bound that still catches a broken sketch (order-of-magnitude
+        # errors)
+        assert rel_err <= 0.10, (r["event_type"], r["approx"], r["exact"])
+
+
+def test_percentile_approx_close_to_exact(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    r = ev.agg(
+        F.percentile_approx("value", 0.5, 10000).alias("approx"),
+        F.expr("percentile(value, 0.5)").alias("exact"),
+    ).first()
+    # percentile_approx with high accuracy parameter lands on an actual
+    # data value adjacent to the interpolated exact result
+    assert abs(r["approx"] - r["exact"]) <= max(0.05 * abs(r["exact"]), 0.5)
