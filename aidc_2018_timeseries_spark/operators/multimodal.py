@@ -95,3 +95,86 @@ def frame_sample_stub(
     n_frames = (F.octet_length(payload_col) % 100 + 1).cast("int")
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.select(F.col(id_col), F.explode(idx).alias("frame_idx"))
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stub with real Arrow plumbing: batches of binary payloads in,
+    batches of (id, w, h, resized binary) out via mapInPandas — the exact
+    shape a PIL/opencv kernel drops into. The fake kernel emits a
+    deterministic byte buffer of the true target size (w*h*3), so output
+    schema, sizes, and batch flow are all testable without the codec."""
+    if _HAS_PIL:
+        raise NotImplementedError("real image resize: wire PIL Image.resize here")
+
+    n_out = target_w * target_h * 3
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                (bytes(p) * (n_out // max(len(bytes(p)), 1) + 1))[:n_out]
+                for p in pdf[payload_col]
+            ]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "width": target_w,
+                    "height": target_h,
+                    "resized": resized,
+                }
+            )
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(resize, schema=_RESIZE_SCHEMA)
+
+
+_AUDIO_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Feature-extract stub (audio → per-frame RMS energy): payload is
+    chopped into fixed-byte frames, one output row per frame. The fake
+    kernel computes RMS over raw bytes; a real one would decode PCM via
+    soundfile/librosa behind the same mapInPandas signature. Row-expanding
+    UDF output (1 payload → N frames) is the part worth testing: the
+    iterator contract allows output batches longer than input batches."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, rms = [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                for i in range(0, max(len(b), 1), frame_bytes):
+                    frame = b[i : i + frame_bytes] or b"\x00"
+                    ids.append(doc_id)
+                    idxs.append(i // frame_bytes)
+                    rms.append((sum(x * x for x in frame) / len(frame)) ** 0.5)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "rms": rms})
+
+    return df.select(id_col, payload_col).mapInPandas(feats, schema=_AUDIO_FEAT_SCHEMA)

@@ -94,3 +94,38 @@ def test_frame_sample_stub(spark):
     rows = frames.groupBy("doc_id").agg(F.max("frame_idx").alias("m"), F.count(F.lit(1)).alias("n")).collect()
     for r in rows:
         assert r["m"] % 7 == 0 and r["n"] == r["m"] // 7 + 1
+
+
+def test_resize_stub_shapes(spark):
+    from aidc_2018_timeseries_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    payloads = attach_binary_payload(docs, "text")
+    out = resize_images(payloads, target_w=8, target_h=4).collect()
+    assert len(out) == 20
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["resized"]) == 8 * 4 * 3  # every output exactly w*h*3 bytes
+
+
+def test_audio_feature_extract_row_expansion(spark):
+    from aidc_2018_timeseries_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_audio_features,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    payloads = attach_binary_payload(docs, "text")
+    sizes = {r["doc_id"]: r["n"] for r in payloads.select("doc_id", F.octet_length("payload").alias("n")).collect()}
+    rows = extract_audio_features(payloads, frame_bytes=64).collect()
+    got = {}
+    for r in rows:
+        assert r["rms"] >= 0.0
+        got[r["doc_id"]] = max(got.get(r["doc_id"], -1), r["frame_idx"])
+    # 1 payload -> ceil(n/64) frames: the row-expanding iterator contract
+    for doc_id, n in sizes.items():
+        expect_frames = max(1, -(-n // 64))
+        assert got[doc_id] == expect_frames - 1
