@@ -1,0 +1,81 @@
+"""Physical-plan audit: every catalog query is checked for 100 TB red
+flags, not just correct rows.
+
+Red flags:
+- CartesianProduct — never acceptable.
+- BroadcastNestedLoopJoin — acceptable ONLY where a brute-force scoring
+  pass over a broadcast query/plane set is the declared design (the exact
+  baselines the approximate paths are measured against); those queries are
+  allowlisted by name with the approximate scale-path sibling noted.
+- BatchEvalPython — row-at-a-time Python UDF in the data plane; all
+  Python must cross via Arrow (ArrowEvalPython / MapInPandas /
+  FlatMapGroupsInPandas...).
+
+Plus spot checks that predicate pushdown and column pruning actually
+reach the parquet scans on representative queries.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+#: brute-force baselines whose broadcast cross product IS the design;
+#: each has an LSH/IVF bucketed sibling as the scale path.
+_NESTED_LOOP_OK = {
+    "knn_brute_force",  # scale path: knn_ivf / knn_rp_lsh
+    "knn_ivf",  # centroid assignment broadcasts the centroid set
+    "knn_rp_lsh",  # plane signatures broadcast the (tiny) plane set
+    "dedup_embedding_cosine",  # scale path: LSH buckets (dedup_minhash/simhash)
+}
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_plan_has_no_scale_red_flags(spark, name):
+    df = CATALOG[name].spark_fn(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in _NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_pushdown_reaches_scan_asof(spark):
+    """The event_type filters of the as-of join must be pushed into both
+    parquet scans (the join reads 2 of 5 event types, not the table)."""
+    plan = _formatted_plan(CATALOG["asof_join_click_error"].spark_fn(spark, SF_DIR))
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,error)" in plan
+
+
+def test_column_pruning_reaches_scan_w1(spark):
+    """w1 needs 4 of 6 event columns; props (the widest column) must not
+    be read."""
+    plan = _formatted_plan(CATALOG["w1_rolling_mean"].spark_fn(spark, SF_DIR))
+    scan_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schemas and all("props" not in l for l in scan_schemas)
+
+
+def test_single_exchange_flagship(spark):
+    """The flagship scale->window->label chain is one shuffle + one sort."""
+    import re
+
+    plan = _formatted_plan(CATALOG["turbofan_rul_pipeline"].spark_fn(spark, SF_DIR))
+    # formatted plans name each node twice (tree + detail); count the
+    # numbered detail headers only
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+    assert len(re.findall(r"\(\d+\) Sort", plan)) <= 1
