@@ -1,7 +1,11 @@
-"""Train/test splitting and shuffling (SURVEY §2.3 W13, §2.5 O2).
+"""Train/test splitting, shuffling, sampling (SURVEY §2.3 W13, §2.5 O2).
 
-RNG parity with NumPy is impossible (SURVEY §7); the shuffle uses Spark's
-``rand(seed)`` and tests compare set-equality, not order.
+RNG parity with NumPy is impossible (SURVEY §7), so O2 exists in two
+forms: ``seeded_shuffle`` (Spark ``rand(seed)``, set-equality tests) and
+the hash-keyed family (``hash_permutation_shuffle`` / ``hash_sample`` /
+``stratified_hash_sample``) whose md5-derived keys are deterministic
+across engines, partitioning, and reruns — the form a reproducible
+training pipeline wants, and the one the DuckDB oracle can check.
 """
 
 from __future__ import annotations
@@ -51,3 +55,60 @@ def seeded_shuffle(df: DataFrame, seed: int = 42) -> DataFrame:
     """O2: random permutation (reference ``turbofan.py:266-271``); X and y
     stay aligned because they are columns of one row."""
     return df.orderBy(F.rand(seed))
+
+
+def hash_permutation_shuffle(
+    df: DataFrame, id_col: str, seed: int | str = 42, pos_col: str = "pos"
+) -> DataFrame:
+    """O2 scale form: a DETERMINISTIC permutation keyed by
+    hash64(seed || ':' || id) — unlike ``rand(seed)`` (whose draw depends
+    on partition layout) this is reproducible across engines, partition
+    counts, and reruns, which is what a 100 TB training pipeline actually
+    needs from "shuffle the samples". Adds ``pos`` = 0-based permutation
+    index. Cross-engine checkable since the key is md5 arithmetic.
+
+    Scale note: materializing ``pos`` needs a global sort (here a global
+    window — fine for bookkeeping/verification). At 100 TB, downstream
+    consumers just ``orderBy(h)`` (distributed range sort) or use the hash
+    directly as the batch key; the permutation is defined by the key, not
+    by this materialization.
+    """
+    from aidc_2018_timeseries_spark.functions.hashing import hash64_seeded
+
+    h = hash64_seeded(F.col(id_col).cast("string"), f"shuf:{seed}")
+    w = Window.orderBy(h.asc(), F.col(id_col).asc())
+    return df.withColumn(pos_col, F.row_number().over(w) - 1)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int | str = 42
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows where
+    hash64(seed:id) mod 10^6 < fraction·10^6. Same guarantees as
+    hash_permutation_shuffle (reproducible across engines/partitioning);
+    scan-shaped, no shuffle, trivially pushed-down-able."""
+    from aidc_2018_timeseries_spark.functions.hashing import hash64_seeded
+
+    h = hash64_seeded(F.col(id_col).cast("string"), f"sample:{seed}")
+    return df.filter((h % 1_000_000) < int(fraction * 1_000_000))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    seed: int | str = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant event
+    types, keep all rare ones) — the reproducible sampleBy. Strata missing
+    from ``fractions`` are dropped."""
+    from aidc_2018_timeseries_spark.functions.hashing import hash64_seeded
+
+    h = hash64_seeded(F.col(id_col).cast("string"), f"sample:{seed}")
+    thresh = F.lit(None)
+    for stratum, frac in fractions.items():
+        thresh = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(frac * 1_000_000))
+        ).otherwise(thresh)
+    return df.filter((h % 1_000_000) < thresh)

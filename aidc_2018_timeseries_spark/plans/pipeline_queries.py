@@ -181,3 +181,64 @@ def w6_pad_truncate_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     return padded.select(
         "user_id", F.posexplode("pa").alias("idx0", "v")
     ).select("user_id", (F.col("idx0") + 1).cast("long").alias("idx"), "v")
+
+
+_H = "CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('{seed}:', CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+
+
+# --- O2 (deterministic form): hash-keyed permutation, fully oracle-checked ---
+@register(
+    "o2_hash_permutation",
+    f"""
+    SELECT event_id,
+           ROW_NUMBER() OVER (ORDER BY {_H.format(seed='shuf:42')}, event_id) - 1 AS pos
+    FROM events
+    """,
+    doc="O2 as a deterministic md5-keyed permutation — reproducible across "
+    "engines/partitioning (unlike rand(seed)), so the full permutation is "
+    "oracle-checked",
+)
+def o2_hash_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.split import hash_permutation_shuffle
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    return hash_permutation_shuffle(ev, "event_id", seed=42).select("event_id", "pos")
+
+
+# --- deterministic Bernoulli + stratified sampling (100 TB reproducibility) ---
+@register(
+    "sample_hash_5pct",
+    f"""
+    SELECT event_id, user_id FROM events
+    WHERE {_H.format(seed='sample:7')} % 1000000 < 50000
+    """,
+    doc="deterministic 5% Bernoulli sample keyed by md5(seed:id) — "
+    "scan-shaped, reproducible across engines and partitionings",
+)
+def sample_hash_5pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.split import hash_sample
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    return hash_sample(ev, "event_id", fraction=0.05, seed=7)
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT event_id, event_type FROM events
+    WHERE {_H.format(seed='sample:7')} % 1000000 <
+          CASE event_type WHEN 'view' THEN 20000 WHEN 'click' THEN 100000
+                          WHEN 'error' THEN 1000000 END
+    """,
+    doc="stratified deterministic sample: downsample dominant types (2% "
+    "views, 10% clicks), keep every error, drop the rest — reproducible "
+    "sampleBy",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.split import stratified_hash_sample
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    return stratified_hash_sample(
+        ev, "event_id", "event_type",
+        {"view": 0.02, "click": 0.10, "error": 1.0}, seed=7,
+    )
