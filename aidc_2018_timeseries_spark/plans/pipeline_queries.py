@@ -242,3 +242,45 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_id", "event_type",
         {"view": 0.02, "click": 0.10, "error": 1.0}, seed=7,
     )
+
+
+# --- §3.3 forecasting chain: W1(T+1) → next-point target → P4 → W13 split ---
+@register(
+    "forecasting_next_point",
+    """
+    WITH r AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING), 6) AS x_mean,
+             SUM(ABS(value)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS win_abs
+      FROM events),
+    w AS (SELECT user_id, rn, x_mean, value AS y FROM r
+          WHERE rn >= 21 AND win_abs > 1e-12),
+    s AS (SELECT *, ROW_NUMBER() OVER (ORDER BY user_id, rn) AS gpos,
+                 CAST(ROUND(0.8 * COUNT(*) OVER (), 0) AS BIGINT) AS cutoff FROM w)
+    SELECT user_id, rn, x_mean, y,
+           CASE WHEN gpos <= cutoff THEN 'train' ELSE 'test' END AS split
+    FROM s
+    """,
+    doc="§3.3 TimeSeries chain end-to-end: rolling (T+1)-windows (T=20) → "
+    "X/next-point-y pairs → P4 zero filter → W13 80/20 time split",
+)
+def forecasting_next_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.pipelines.forecasting import next_point_dataset
+
+    ev = load_table(spark, sf_dir, "events")
+    ds = next_point_dataset(ev, "user_id", ["ts", "event_id"], ["value"], seq_len=20)
+    x_mean = F.aggregate(
+        F.transform("x", lambda s: s["value"].cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    ) / F.lit(20.0)
+    return ds.select(
+        "user_id",
+        "rn",
+        F.round(x_mean, 6).alias("x_mean"),
+        F.col("y")["value"].alias("y"),
+        "split",
+    )
