@@ -375,3 +375,35 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- scalar string/date functions (engine-complete breadth) ---
+@register(
+    "scalar_string_date_funcs",
+    """
+    SELECT event_id,
+           UPPER(event_type) AS type_upper,
+           SUBSTR(event_type, 1, 3) AS type_pfx,
+           LENGTH(event_type) AS type_len,
+           CAST(strftime(date_trunc('month', ts), '%Y-%m-%d') AS VARCHAR) AS month_start,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hr
+    FROM events WHERE event_type IN ('signup', 'purchase')
+    """,
+    doc="scalar string/date function surface: upper/substr/length, "
+    "date_trunc + extract on event time (emitted as strings/ints — never "
+    "raw timestamps, per the ns-vs-us physical-type rule)",
+)
+def scalar_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.substring("event_type", 1, 3).alias("type_pfx"),
+        F.length("event_type").cast("long").alias("type_len"),
+        F.date_format(F.date_trunc("month", F.col("ts_utc")), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.hour("ts_utc").alias("hr"),
+    )

