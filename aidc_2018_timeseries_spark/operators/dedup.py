@@ -175,45 +175,76 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard ≥ threshold via PREFIX FILTERING (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07) — lossless.
 
-    Inverted-index join: explode distinct shingles WITH the set size
-    carried along (size is known before the explode — no re-aggregation,
-    no sizes join), self-join on shingle, count intersections, compute
-    |A∩B| / (|A| + |B| − |A∩B|). Shuffles on shingle hash (bounded by
-    posting-list sizes), never the doc cross product. Returns
-    (id_a, id_b, jaccard) above threshold.
+    The naive inverted-index self-join generates a candidate PAIR for
+    every shared shingle: with hot shingles (shared by thousands of docs)
+    that is quadratic in posting-list length — measured >1.1M intermediate
+    pairs for 256 true results on the sf0.1 corpus. Prefix filtering uses
+    the threshold itself to prune: order each doc's shingle set by a
+    global canonical order (rarest first), and index only the first
+    floor((1-t)·|A|)+1 shingles. Two sets with Jaccard ≥ t MUST share a
+    prefix shingle, and rare-first ordering makes prefix posting lists
+    short — hot shingles land at the back and are never indexed. A size
+    filter (min ≥ t·max) prunes further; survivors are verified exactly,
+    JVM-side, with array_intersect on the full (distinct) shingle arrays.
+
+    Plan: one df-frequency aggregate + one window rank (shuffles on
+    shingle / doc), a candidate join on short prefix postings, and a
+    verify join keyed by doc id. Returns (id_a, id_b, jaccard ≥ t).
     """
     # Repartition BEFORE the md5 shingle computation: a small-file corpus
-    # otherwise arrives as one scan task and hashing runs serially. The
-    # shuffle_hash hint stops Catalyst from broadcasting millions of
-    # exploded postings; the join's own exchange partitions them on
-    # shingle. At 100 TB the same shape holds: posting lists shuffle once,
-    # hot shingles are AQE skew-split.
+    # otherwise arrives as one scan task and hashes serially.
     hashed = _spread(df, id_col).select(
         F.col(id_col).alias("doc"), shingle_hashes(F.col(text_col), n=shingle_n).alias("sh")
     )
     sh = hashed.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
-    inter = (
-        sh.alias("l")
-        .hint("shuffle_hash")
-        .join(
-            sh.alias("r"),
-            (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .groupBy(
-            F.col("l.doc").alias("id_a"),
-            F.col("r.doc").alias("id_b"),
-            F.col("l.n_sh").alias("size_a"),
-            F.col("r.n_sh").alias("size_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    # prefix length n - ceil(t·n) + 1, with an epsilon so double rounding
+    # of t (0.8 is 0.80000000000000004 in binary) never shortens the
+    # prefix at integer boundaries — a too-short prefix silently LOSES
+    # true pairs (measured: exactly one pair at sf0.1).
+    eps = 1e-9
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(eps)) + 1
+    ).cast("int")
+    pref = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc", "n_sh", "shingle")
     )
+
+    cand = (
+        pref.alias("l")
+        .join(
+            pref.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc") < F.col("r.doc"))
+            # size filter: Jaccard >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
+            # (same epsilon guard against the double representation of t)
+            & (
+                F.least("l.n_sh", "r.n_sh")
+                >= threshold * F.greatest("l.n_sh", "r.n_sh") - F.lit(1e-9)
+            ),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+
+    a = hashed.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = hashed.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        inter.withColumn(
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
             "jaccard",
             F.round(
-                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+                n_common / (F.size("sh_a") + F.size("sh_b") - n_common), 6
             ),
         )
         .filter(F.col("jaccard") >= threshold)
