@@ -1,0 +1,28 @@
+"""MLlib degenerate-baseline test (SURVEY §7.7): Affine + A5 == linear
+regression, trained distributedly on window features; it must beat the
+predict-the-mean naive RMSE (window stats genuinely predict RUL since
+late-life windows sit near the series end)."""
+
+from __future__ import annotations
+
+from aidc_2018_timeseries_spark.ml.baselines import (
+    rul_feature_frame,
+    train_rul_linear_baseline,
+)
+from aidc_2018_timeseries_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_linear_rul_baseline_beats_naive(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    feats = rul_feature_frame(ev, "user_id", ["ts", "event_id"], "value", seq_len=20, cap=60)
+    res = train_rul_linear_baseline(feats)
+    assert res.test_rmse > 0.0
+    # the cycle feature carries real signal (rul = L - t capped); the
+    # fit must clearly beat predict-the-mean or the feature/label join is
+    # silently broken
+    assert res.test_rmse < 0.8 * res.naive_test_rmse, (
+        res.test_rmse,
+        res.naive_test_rmse,
+    )
+    assert abs(res.train_rmse - res.test_rmse) < 0.5 * res.naive_test_rmse
