@@ -471,3 +471,55 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# --- GROUPING SETS (the general form rollup/cube specialize) ---
+@register(
+    "groupingsets_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="explicit GROUPING SETS: the general multi-granularity aggregate "
+    "(rollup/cube are its specializations) — one scan, map-side partials "
+    "expanded per set",
+)
+def groupingsets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# --- correlated EXISTS / NOT EXISTS subquery shapes ---
+@register(
+    "exists_customers_with_open_order",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """,
+    doc="correlated EXISTS + NOT EXISTS: Catalyst rewrites to semi + anti "
+    "joins (no per-row subquery execution)",
+)
+def exists_customers_with_open_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    open_o = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_o = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        c.join(open_o, c["c_custkey"] == open_o["o_custkey"], "left_semi")
+        .join(done_o, c["c_custkey"] == done_o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+    )
