@@ -284,3 +284,46 @@ def forecasting_next_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y")["value"].alias("y"),
         "split",
     )
+
+
+# --- W14 with a last-value predictor: the one autoregressive case whose
+# fixed point is SQL-expressible, upgrading W14 from rows-only to checked ---
+@register(
+    "w14_identity_autoregressive",
+    """
+    WITH r AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS len
+      FROM events),
+    full_series AS (SELECT DISTINCT user_id, len FROM r WHERE len >= 15),
+    steps AS (SELECT user_id, len, unnest(range(1, 6)) AS step FROM full_series),
+    seed AS (SELECT r.user_id, r.value AS generated FROM r
+             JOIN full_series f ON f.user_id = r.user_id AND r.rn = f.len - 5)
+    SELECT s.user_id, CAST(s.step AS INT) AS step,
+           ROUND(seed.generated, 6) AS generated,
+           ROUND(a.value, 6) AS actual
+    FROM steps s
+    JOIN seed ON seed.user_id = s.user_id
+    JOIN r a ON a.user_id = s.user_id AND a.rn = s.len - 5 + s.step
+    """,
+    doc="W14 autoregressive loop with the identity (last-value) predictor: "
+    "sliding the window onto its own prediction reaches a fixed point = "
+    "the last seed value, so the whole generation is oracle-checkable "
+    "(the general-predictor form stays rows-only as w14_autoregressive_generation)",
+)
+def w14_identity_autoregressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.ml.autoregressive import autoregressive_generate
+    from aidc_2018_timeseries_spark.operators.filters import min_length_filter
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = min_length_filter(ev, "user_id", min_len=15)
+    out = autoregressive_generate(
+        ev, "user_id", ["ts", "event_id"], "value",
+        seq_len=10, n_steps=5, predictor=lambda w: float(w[-1]),
+    )
+    return out.select(
+        "user_id", "step",
+        F.round("generated", 6).alias("generated"),
+        F.round("actual", 6).alias("actual"),
+    )

@@ -26,3 +26,23 @@ from aidc_2018_timeseries_spark.streaming.stateful import ewma_anomaly_batch
 def streaming_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     return ewma_anomaly_batch(ev, alpha=0.1, k=3.0)
+
+
+@register(
+    "events_hourly_tumbling",
+    """
+    SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="batch face of the streaming tumbling-window aggregate (6h windows "
+    "per event type) — identical code runs on readStream with a watermark; "
+    "the replay test proves stream == this batch result",
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.streaming.windows import windowed_event_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_event_aggregate(ev, window="6 hours")
