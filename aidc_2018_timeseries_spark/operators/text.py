@@ -124,3 +124,25 @@ def shingle_hashes(text: Column | str, n: int = 3, space_bits: int = 30) -> Colu
     return F.array_distinct(
         F.transform(shingles, lambda s: hash64(s) % F.lit(1 << space_bits))
     )
+
+
+#: GPT-2-style pretokenizer approximation, RE2-compatible (no lookahead —
+#: DuckDB's regex engine is RE2, so the trailing-space variant of the real
+#: BPE pattern can't be expressed identically in both engines).
+BPE_ISH_PATTERN = r"'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def subword_count(text: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pretokenizer regex
+    on lowercased text — the cheap token-budget estimator a training-data
+    pipeline runs per document (real BPE merges only subdivide these
+    pretokens further, so this lower-bounds the true BPE count)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.lower(c), F.lit(BPE_ISH_PATTERN))
+
+
+def subword_count_sql(expr: str) -> str:
+    """DuckDB SQL equivalent of :func:`subword_count` (pattern apostrophe
+    doubled for SQL string quoting)."""
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all(lower({expr}), '{pat}'))"

@@ -125,3 +125,24 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", tx.doc_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "text_subword_count",
+    f"""
+    SELECT doc_id,
+           CAST({tx.subword_count_sql('text')} AS BIGINT) AS n_subwords,
+           CAST(len({_TOKS}) AS BIGINT) AS n_words
+    FROM documents
+    """,
+    doc="BPE-ish token budget per doc: GPT-2-style pretokenizer regex "
+    "(RE2-compatible, byte-identical across engines) next to the "
+    "whitespace word count",
+)
+def text_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.subword_count("text").cast("long").alias("n_subwords"),
+        tx.token_count("text").cast("long").alias("n_words"),
+    )
