@@ -83,8 +83,10 @@ def train_rul_linear_baseline(
     frac = int(train_ratio * 100)
     key_cols = [c for c in features.columns if c not in
                 ("f_mean", "f_std", "f_min", "f_max", "f_last", "f_cycle", "label")]
+    # pmod, not abs(hash) % 100: abs(Integer.MIN_VALUE) overflows (throws
+    # under ANSI mode, stays negative otherwise)
     is_train = (
-        F.abs(F.hash(F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols]))) % 100
+        F.pmod(F.hash(F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])), 100)
     ) < frac
     train = assembled.filter(is_train).cache()
     test = assembled.filter(~is_train).cache()

@@ -209,8 +209,13 @@ def salted_join(
     downstream per-key windowing built on the join's partitioning.
 
     Cost: small side × n_salts replication; result is row-identical to a
-    plain join (salt never leaks into output).
+    plain join (salt never leaks into output). Only ``inner`` and ``left``
+    are supported: replicating the small side per salt breaks outer/anti
+    semantics on that side (an unmatched small row would surface once per
+    salt).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
     keys = _keys(on)
     salted_big = big.withColumn(
         "_salt", (F.rand(seed=42) * n_salts).cast("int")

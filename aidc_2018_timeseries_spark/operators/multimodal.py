@@ -127,7 +127,7 @@ def resize_images(
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             resized = [
-                (bytes(p) * (n_out // max(len(bytes(p)), 1) + 1))[:n_out]
+                ((bytes(p) or b"\x00") * (n_out // max(len(bytes(p)), 1) + 1))[:n_out]
                 for p in pdf[payload_col]
             ]
             out = pd.DataFrame(

@@ -90,7 +90,9 @@ def hash_sample(
     from aidc_2018_timeseries_spark.functions.hashing import hash64_seeded
 
     h = hash64_seeded(F.col(id_col).cast("string"), f"sample:{seed}")
-    return df.filter((h % 1_000_000) < int(fraction * 1_000_000))
+    # round, don't truncate: 0.29 * 1e6 is 289999.99999999994 in binary —
+    # int() would shrink the keep-range by one hash value
+    return df.filter((h % 1_000_000) < int(round(fraction * 1_000_000)))
 
 
 def stratified_hash_sample(
@@ -109,6 +111,6 @@ def stratified_hash_sample(
     thresh = F.lit(None)
     for stratum, frac in fractions.items():
         thresh = F.when(
-            F.col(stratum_col) == stratum, F.lit(int(frac * 1_000_000))
+            F.col(stratum_col) == stratum, F.lit(int(round(frac * 1_000_000)))
         ).otherwise(thresh)
     return df.filter((h % 1_000_000) < thresh)

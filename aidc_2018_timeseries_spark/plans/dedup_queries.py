@@ -101,7 +101,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b,
            ROUND(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
     FROM inter
-    WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.8
+    WHERE ROUND(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) >= 0.8
     """,
     doc="exact 3-gram Jaccard ≥ 0.8 via inverted-index self-join",
 )

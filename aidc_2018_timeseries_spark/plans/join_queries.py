@@ -35,8 +35,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_join_click_error",
     """
     WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
-         e AS (SELECT user_id, event_id AS error_event_id, ts FROM events
-               WHERE event_type = 'error')
+         e AS (SELECT user_id, MIN(event_id) AS error_event_id, ts FROM events
+               WHERE event_type = 'error' GROUP BY user_id, ts)
     SELECT c.user_id, c.event_id, e.error_event_id,
            epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
     FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
@@ -48,8 +48,13 @@ def asof_join_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     ts_us = F.expr("ts div 1000").alias("ts_us")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", ts_us)
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id", F.col("event_id").alias("error_event_id"), ts_us
+    # dedupe right-side (user, ts) ties to min event_id: asof_join matches
+    # ties arbitrarily (documented), so determinism is this caller's job
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "event_id", ts_us)
+        .groupBy("user_id", "ts_us")
+        .agg(F.min("event_id").alias("error_event_id"))
     )
     out = asof_join(
         clicks,

@@ -253,8 +253,11 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
              ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING), 6) AS x_mean,
+             -- zero-filter is over the X window ONLY (20 rows, excluding
+             -- the current row = the y target), matching drop_zero_windows
+             -- on the flattened x in next_point_dataset
              SUM(ABS(value)) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS win_abs
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS win_abs
       FROM events),
     w AS (SELECT user_id, rn, x_mean, value AS y FROM r
           WHERE rn >= 21 AND win_abs > 1e-12),

@@ -95,10 +95,17 @@ def make_ewma_state_func(alpha: float = 0.1, k: float = 3.0):
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         n, mean, var = state.get if state.exists else (0, 0.0, 0.0)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            out, n, mean, var = _ewma_step(pdf, n, mean, var, alpha, k)
+        # Materialize ALL Arrow chunks for this key before stepping: a key
+        # whose micro-batch rows span multiple chunks would otherwise be
+        # processed chunk-by-chunk in shuffle order — each chunk sorted
+        # internally but later chunks possibly holding earlier timestamps,
+        # silently advancing the recurrence out of order. Memory stays
+        # bounded by one key's rows per micro-batch (same contract as the
+        # batch applyInPandas sibling).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            out, n, mean, var = _ewma_step(whole, n, mean, var, alpha, k)
             yield out
         state.update((n, mean, var))
 

@@ -102,10 +102,12 @@ def test_resize_stub_shapes(spark):
         resize_images,
     )
 
-    docs = load_table(spark, SF_DIR, "documents").limit(20)
-    payloads = attach_binary_payload(docs, "text")
+    docs = load_table(spark, SF_DIR, "documents").limit(20).select("doc_id", "text")
+    # include an empty payload: the fake kernel must still emit w*h*3 bytes
+    empty = docs.sparkSession.createDataFrame([(10_000_000, "")], ["doc_id", "text"])
+    payloads = attach_binary_payload(docs.unionByName(empty), "text")
     out = resize_images(payloads, target_w=8, target_h=4).collect()
-    assert len(out) == 20
+    assert len(out) == 21
     for r in out:
         assert (r["width"], r["height"]) == (8, 4)
         assert len(r["resized"]) == 8 * 4 * 3  # every output exactly w*h*3 bytes

@@ -33,7 +33,8 @@ def test_partitioned_write_prunes(spark, tmp_path):
     want = sorted(map(tuple, ev.collect()))
     assert got == want
 
-    # partition pruning: a one-type read shows exactly one partition value
+    # partition pruning: the filter must appear as a PartitionFilter on the
+    # scan (strict — a layout regression must fail here, not fall through)
     one = spark.read.parquet(p).filter(F.col("event_type") == "error")
     import io
     from contextlib import redirect_stdout
@@ -41,4 +42,6 @@ def test_partitioned_write_prunes(spark, tmp_path):
     buf = io.StringIO()
     with redirect_stdout(buf):
         one.explain("formatted")
-    assert "event_type=error" in buf.getvalue() or one.count() > 0
+    plan = buf.getvalue()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and any("error" in l for l in pf_lines), plan
