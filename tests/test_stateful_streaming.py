@@ -86,3 +86,80 @@ def test_ewma_batch_recurrence_golden(spark):
     assert out[3].ewma == 10.0
     # after the jump: mean = 10 + 0.5*(50-10) = 30
     assert out[4].ewma == 30.0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed aggregate with a 1h watermark: an event
+    arriving 2h late (behind the watermark) must be DROPPED from its
+    already-finalized window, while the same plan in batch mode counts it.
+    This pins the late-data policy the streaming extension documents."""
+    import time as _time
+
+    from pyspark.sql import functions as F, types as T
+    from aidc_2018_timeseries_spark.streaming.windows import windowed_event_aggregate
+
+    schema = T.StructType(
+        [
+            T.StructField("ts_utc", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # Watermark mechanics pinned here: eviction of window [00:00,01:00)
+    # happens during the batch AFTER the max event time passes
+    # window_end + delay (state merges input BEFORE evicting, so a late
+    # row arriving in the eviction batch still counts). The drop only
+    # happens once the state is gone:
+    #   batch 0: 00:10, 00:20, 03:00    (watermark during batch: epoch)
+    #   batch 1: 03:30                  (watermark 02:00 -> [0,1h) emitted n=2)
+    #   batch 2: 00:30 late, 06:00      (state evicted -> 00:30 DROPPED)
+    rows1 = [("00:10", 1.0), ("00:20", 1.0), ("03:00", 1.0)]
+    rows2 = [("03:30", 1.0)]
+    rows3 = [("00:30", 1.0), ("06:00", 1.0)]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, rows in enumerate([rows1, rows2, rows3]):
+        df = spark.createDataFrame(
+            [(r[0], "k", r[1]) for r in rows], ["t", "event_type", "value"]
+        ).selectExpr("to_timestamp(concat('2024-01-01 ', t)) AS ts_utc", "event_type", "value")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"chunk{i}"))
+        import glob, shutil
+
+        for f in glob.glob(str(tmp_path / f"chunk{i}" / "*.parquet")):
+            shutil.copy(f, feed / f"{i}.parquet")
+        _time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(feed))
+    )
+    agg = windowed_event_aggregate(
+        stream, ts_col="ts_utc", key="event_type", value="value",
+        window="1 hour", watermark="1 hour",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_data")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: r["n"]
+        for r in spark.sql("SELECT * FROM late_data").collect()
+    }
+    # streaming evicted [00:00, 01:00) before the late 00:30 arrived -> n=2
+    assert got.get("2024-01-01 00:00:00") == 2, got
+
+    # identical plan in batch mode counts the late event
+    batch_rows = spark.read.schema(schema).parquet(str(feed))
+    batch = {
+        r["window_start"]: r["n"]
+        for r in windowed_event_aggregate(
+            batch_rows, ts_col="ts_utc", key="event_type", value="value", window="1 hour"
+        ).collect()
+    }
+    assert batch["2024-01-01 00:00:00"] == 3
