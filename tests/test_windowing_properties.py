@@ -145,3 +145,46 @@ def test_last_window_takes_min_k_l_rows(spark, lengths, k):
     for sid, length in enumerate(lengths):
         got = sorted(by_sid[sid])
         assert got == list(range(max(0, length - k), length))
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=8),
+    target=st.integers(min_value=1, max_value=40),
+)
+@_SETTINGS
+def test_pad_repeat_first_properties(spark, lengths, target):
+    """W5: short arrays left-pad by REPEATING the first element to target;
+    arrays already >= target are untouched (never truncated)."""
+    from aidc_2018_timeseries_spark.operators.padding import pad_front_repeat_first
+
+    rows = [(i, [float(i * 100 + j) for j in range(n)]) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "id INT, a ARRAY<DOUBLE>")
+    got = {r["id"]: r["p"] for r in df.select("id", pad_front_repeat_first("a", target).alias("p")).collect()}
+    for i, n in enumerate(lengths):
+        orig = [float(i * 100 + j) for j in range(n)]
+        if n >= target:
+            assert got[i] == orig  # untouched, NOT truncated
+        else:
+            assert got[i] == [orig[0]] * (target - n) + orig
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=8),
+    target=st.integers(min_value=1, max_value=40),
+)
+@_SETTINGS
+def test_pad_truncate_front_zero_properties(spark, lengths, target):
+    """W6: exactly target elements out — shorter arrays left-pad with
+    ZEROS, longer arrays keep the LAST target elements (music.py:37-45)."""
+    from aidc_2018_timeseries_spark.operators.padding import pad_or_truncate_front_zero
+
+    rows = [(i, [float(i * 100 + j) for j in range(n)]) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "id INT, a ARRAY<DOUBLE>")
+    got = {r["id"]: r["p"] for r in df.select("id", pad_or_truncate_front_zero("a", target).alias("p")).collect()}
+    for i, n in enumerate(lengths):
+        orig = [float(i * 100 + j) for j in range(n)]
+        assert len(got[i]) == target
+        if n >= target:
+            assert got[i] == orig[n - target:]  # keep the LAST rows
+        else:
+            assert got[i] == [0.0] * (target - n) + orig  # zeros at the FRONT
