@@ -330,3 +330,59 @@ def w14_identity_autoregressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("generated", 6).alias("generated"),
         F.round("actual", 6).alias("actual"),
     )
+
+
+# --- music chain: W6 pad/truncate + W8 teacher forcing, end to end ---
+@register(
+    "music_pipeline_teacher_forcing",
+    """
+    WITH r AS (
+      SELECT user_id AS song,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS len,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS vv
+      FROM events),
+    bits AS (
+      SELECT song, rn, len, unnest(range(0, 8)) AS j,
+             CAST(CAST(FLOOR(vv / POWER(2, unnest(range(0, 8)))) AS BIGINT) % 2
+                  AS DOUBLE) AS bit
+      FROM r),
+    pos AS (
+      SELECT song, len, unnest(range(1, 13)) AS p
+      FROM (SELECT DISTINCT song, len FROM r)),
+    posj AS (SELECT song, len, p, unnest(range(0, 8)) AS j FROM pos),
+    src AS (
+      SELECT song, p, j,
+             CASE WHEN len >= 13 THEN len - 13 + p ELSE p - (13 - len) END AS sx,
+             CASE WHEN len >= 13 THEN len - 13 + p + 1 ELSE p + 1 - (13 - len) END AS sy
+      FROM posj)
+    SELECT src.song, CAST(src.p AS INT) AS p, CAST(src.j AS INT) AS j,
+           COALESCE(bx.bit, 0.0) AS x, COALESCE(by_.bit, 0.0) AS y
+    FROM src
+    LEFT JOIN bits bx ON bx.song = src.song AND bx.rn = src.sx AND bx.j = src.j
+    LEFT JOIN bits by_ ON by_.song = src.song AND by_.rn = src.sy AND by_.j = src.j
+    """,
+    doc="music chain end-to-end (W6 zero-pad/left-truncate to T+1=13 + W8 "
+    "teacher-forcing X/y shift) on an 8-key piano roll synthesized from "
+    "the value bits; emitted at (song, position, key) scalar granularity",
+)
+def music_pipeline_teacher_forcing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.windowing import with_row_index
+    from aidc_2018_timeseries_spark.pipelines.music import music_dataset
+
+    ev = with_row_index(load_table(spark, sf_dir, "events"), "user_id", ["ts", "event_id"])
+    vv = F.round(F.col("value") * 100, 0).cast("long")
+    bit = lambda j: ((F.floor(vv / F.pow(F.lit(2.0), j)).cast("long")) % 2).cast("double")  # noqa: E731
+    keys = F.array(*[bit(F.lit(float(j))) for j in range(8)])
+    roll = ev.select(F.col("user_id").alias("song"), F.col("rn"), keys.alias("keys"))
+    ds = music_dataset(roll, key="song", order="rn", keys_col="keys", seq_len=12, n_keys=8)
+    z = ds.select("song", F.posexplode(F.arrays_zip("x", "y")).alias("p0", "r"))
+    z = z.select("song", "p0", F.col("r.x").alias("xr"), F.col("r.y").alias("yr"))
+    z = z.select("song", "p0", F.posexplode(F.arrays_zip("xr", "yr")).alias("j0", "rr"))
+    return z.select(
+        "song",
+        (F.col("p0") + 1).cast("int").alias("p"),
+        F.col("j0").cast("int").alias("j"),
+        F.col("rr.xr").alias("x"),
+        F.col("rr.yr").alias("y"),
+    )
