@@ -103,3 +103,35 @@ def train_rul_linear_baseline(
     train.unpersist()
     test.unpersist()
     return RulBaselineResult(model, train_rmse, test_rmse, naive_rmse)
+
+
+def train_rul_alarm_logistic_baseline(
+    features: DataFrame, rul_threshold: float = 30.0, train_ratio: float = 0.8
+):
+    """Logistic output + binary cross-entropy (A6) == logistic regression:
+    the 'failure imminent' alarm (RUL < threshold) every PHM deployment
+    runs next to the regressor. Same features, same deterministic split;
+    returns (model, test_auc, positive_rate)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    cols = ["f_mean", "f_std", "f_min", "f_max", "f_last", "f_cycle"]
+    labeled = features.withColumn(
+        "alarm", (F.col("label") < rul_threshold).cast("double")
+    )
+    assembled = VectorAssembler(inputCols=cols, outputCol="features").transform(labeled)
+    key_cols = [c for c in features.columns if c not in (*cols, "label")]
+    frac = int(train_ratio * 100)
+    is_train = (
+        F.pmod(F.hash(F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])), 100)
+    ) < frac
+    train = assembled.filter(is_train)
+    test = assembled.filter(~is_train)
+    lr = LogisticRegression(featuresCol="features", labelCol="alarm", regParam=0.01)
+    model = lr.fit(train)
+    ev = BinaryClassificationEvaluator(
+        labelCol="alarm", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+    )
+    auc = ev.evaluate(model.transform(test))
+    pos_rate = test.agg(F.avg("alarm")).first()[0]
+    return model, auc, pos_rate
