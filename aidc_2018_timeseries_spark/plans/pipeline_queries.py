@@ -386,3 +386,44 @@ def music_pipeline_teacher_forcing(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("rr.xr").alias("x"),
         F.col("rr.yr").alias("y"),
     )
+
+
+# --- §3.3 forecasting chain, predict_seq=True: W7 tumbling + look-ahead
+# target + per-WINDOW time split (reference timeseries.py:65-81) ---
+@register(
+    "forecasting_tumbling_split",
+    """
+    WITH base AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             LEAD(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y,
+             COUNT(*) OVER (PARTITION BY user_id) AS series_len
+      FROM events),
+    lim AS (
+      SELECT *, CAST(FLOOR((series_len - 3) / 10) * 10 AS BIGINT) AS n_usable FROM base),
+    win AS (
+      SELECT user_id, CAST(FLOOR((rn - 1) / 10) AS BIGINT) AS window_id,
+             CAST((rn - 1) % 10 AS BIGINT) AS t_in_window, value AS x, y
+      FROM lim WHERE rn <= n_usable),
+    keys AS (SELECT DISTINCT user_id, window_id FROM win),
+    split AS (
+      SELECT user_id, window_id,
+             ROW_NUMBER() OVER (ORDER BY user_id, window_id) AS gpos,
+             CAST(ROUND(0.8 * COUNT(*) OVER (), 0) AS BIGINT) AS cutoff
+      FROM keys)
+    SELECT w.user_id, w.window_id, w.t_in_window, w.x, w.y,
+           CASE WHEN s.gpos <= s.cutoff THEN 'train' ELSE 'test' END AS split
+    FROM win w JOIN split s ON s.user_id = w.user_id AND s.window_id = w.window_id
+    """,
+    doc="§3.3 predict_seq=True chain end-to-end: W7 tumbling windows "
+    "(T=10) + look_ahead=3 shifted target + 80/20 split assigned per "
+    "WINDOW (the reference splits over the window axis)",
+)
+def forecasting_tumbling_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.pipelines.forecasting import sequence_forecast_dataset
+
+    ev = load_table(spark, sf_dir, "events")
+    ds = sequence_forecast_dataset(
+        ev, "user_id", ["ts", "event_id"], "value", seq_len=10, look_ahead=3
+    )
+    return ds.select("user_id", "window_id", "t_in_window", "x", "y", "split")
