@@ -450,3 +450,36 @@ def w11_reverse_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w12_last_timepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = _sorted_series_array(_events(spark, sf_dir))
     return seqs.select(KEY, shifts.last_timepoint("seq").alias("last_value"))
+
+
+# --- P6: NaN guard as a countable data-quality operator ---
+@register(
+    "p6_nan_guard_counts",
+    """
+    WITH holed AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'NaN'::DOUBLE ELSE value END AS v
+      FROM events)
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE isnan(v)) AS n_bad,
+           COUNT(*) AS n_rows
+    FROM holed GROUP BY user_id
+    """,
+    doc="P6 NaN/negativity guard as a countable operator: NaNs injected "
+    "deterministically at error events, flagged rows counted per series "
+    "(the reference asserts no-NaN; an engine counts and reports)",
+)
+def p6_nan_guard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    holed = _events(spark, sf_dir).withColumn(
+        "v",
+        F.when(F.col("event_type") == "error", F.lit(float("nan"))).otherwise(F.col(VAL)),
+    )
+    bad = (
+        filters.no_nan_check(holed, ["v"])
+        .groupBy(KEY)
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    tot = holed.groupBy(KEY).agg(F.count(F.lit(1)).alias("n_rows"))
+    return tot.join(bad, KEY, "left").select(
+        KEY, F.coalesce("n_bad", F.lit(0)).alias("n_bad"), "n_rows"
+    )
