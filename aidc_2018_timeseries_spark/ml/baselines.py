@@ -69,6 +69,28 @@ def rul_feature_frame(
     ).na.fill(0.0, ["f_std"])
 
 
+FEATURE_COLS = ["f_mean", "f_std", "f_min", "f_max", "f_last", "f_cycle"]
+
+
+def _deterministic_split(features: DataFrame, train_ratio: float):
+    """Shared hash split on the non-feature key columns: both baselines
+    MUST use the identical membership rule (the docstrings promise it).
+    pmod, not abs(hash) % 100 — abs(Integer.MIN_VALUE) overflows (throws
+    under ANSI mode, stays negative otherwise); round, not int-truncate —
+    0.29*100 is 28.999999999999996 in binary."""
+    assembled = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features").transform(
+        features
+    )
+    frac = int(round(train_ratio * 100))
+    # exclude derived label columns too: the split key must be identical
+    # across both baselines for the same input rows
+    key_cols = [c for c in features.columns if c not in (*FEATURE_COLS, "label", "alarm")]
+    is_train = (
+        F.pmod(F.hash(F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])), 100)
+    ) < frac
+    return assembled.filter(is_train), assembled.filter(~is_train)
+
+
 def train_rul_linear_baseline(
     features: DataFrame, train_ratio: float = 0.8, seed: int = 42
 ) -> RulBaselineResult:
@@ -78,18 +100,9 @@ def train_rul_linear_baseline(
     agree on membership. Returns train/test RMSE plus the predict-the-mean
     naive RMSE the model must beat for the pipeline to be non-broken.
     """
-    cols = ["f_mean", "f_std", "f_min", "f_max", "f_last", "f_cycle"]
-    assembled = VectorAssembler(inputCols=cols, outputCol="features").transform(features)
-    frac = int(train_ratio * 100)
-    key_cols = [c for c in features.columns if c not in
-                ("f_mean", "f_std", "f_min", "f_max", "f_last", "f_cycle", "label")]
-    # pmod, not abs(hash) % 100: abs(Integer.MIN_VALUE) overflows (throws
-    # under ANSI mode, stays negative otherwise)
-    is_train = (
-        F.pmod(F.hash(F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])), 100)
-    ) < frac
-    train = assembled.filter(is_train).cache()
-    test = assembled.filter(~is_train).cache()
+    train, test = _deterministic_split(features, train_ratio)
+    train = train.cache()
+    test = test.cache()
 
     lr = LinearRegression(featuresCol="features", labelCol="label", regParam=0.01)
     model = lr.fit(train)
@@ -115,18 +128,11 @@ def train_rul_alarm_logistic_baseline(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
-    cols = ["f_mean", "f_std", "f_min", "f_max", "f_last", "f_cycle"]
     labeled = features.withColumn(
         "alarm", (F.col("label") < rul_threshold).cast("double")
     )
-    assembled = VectorAssembler(inputCols=cols, outputCol="features").transform(labeled)
-    key_cols = [c for c in features.columns if c not in (*cols, "label")]
-    frac = int(train_ratio * 100)
-    is_train = (
-        F.pmod(F.hash(F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])), 100)
-    ) < frac
-    train = assembled.filter(is_train)
-    test = assembled.filter(~is_train)
+    train, test = _deterministic_split(labeled, train_ratio)
+    test = test.cache()
     lr = LogisticRegression(featuresCol="features", labelCol="alarm", regParam=0.01)
     model = lr.fit(train)
     ev = BinaryClassificationEvaluator(
@@ -134,4 +140,5 @@ def train_rul_alarm_logistic_baseline(
     )
     auc = ev.evaluate(model.transform(test))
     pos_rate = test.agg(F.avg("alarm")).first()[0]
+    test.unpersist()
     return model, auc, pos_rate

@@ -371,7 +371,9 @@ def music_pipeline_teacher_forcing(spark: SparkSession, sf_dir: str) -> DataFram
     from aidc_2018_timeseries_spark.pipelines.music import music_dataset
 
     ev = with_row_index(load_table(spark, sf_dir, "events"), "user_id", ["ts", "event_id"])
-    vv = F.round(F.col("value") * 100, 0).cast("long")
+    # coalesce NULL values to 0 so both engines emit 0.0 bits for them
+    # (the oracle's COALESCE(bit, 0.0) does this on the SQL side)
+    vv = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
     bit = lambda j: ((F.floor(vv / F.pow(F.lit(2.0), j)).cast("long")) % 2).cast("double")  # noqa: E731
     keys = F.array(*[bit(F.lit(float(j))) for j in range(8)])
     roll = ev.select(F.col("user_id").alias("song"), F.col("rn"), keys.alias("keys"))

@@ -461,25 +461,22 @@ def w12_last_timepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN event_type = 'error' THEN 'NaN'::DOUBLE ELSE value END AS v
       FROM events)
     SELECT user_id,
-           COUNT(*) FILTER (WHERE isnan(v)) AS n_bad,
+           COUNT(*) FILTER (WHERE isnan(v) OR v IS NULL) AS n_bad,
            COUNT(*) AS n_rows
     FROM holed GROUP BY user_id
     """,
-    doc="P6 NaN/negativity guard as a countable operator: NaNs injected "
-    "deterministically at error events, flagged rows counted per series "
-    "(the reference asserts no-NaN; an engine counts and reports)",
+    doc="P6 NaN guard as a countable operator: NaNs injected "
+    "deterministically at error events, NaN-or-NULL rows counted per "
+    "series in ONE conditional aggregate (no_nan_check is the filter "
+    "form of the same predicate, exercised in tests)",
 )
 def p6_nan_guard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     holed = _events(spark, sf_dir).withColumn(
         "v",
         F.when(F.col("event_type") == "error", F.lit(float("nan"))).otherwise(F.col(VAL)),
     )
-    bad = (
-        filters.no_nan_check(holed, ["v"])
-        .groupBy(KEY)
-        .agg(F.count(F.lit(1)).alias("n_bad"))
-    )
-    tot = holed.groupBy(KEY).agg(F.count(F.lit(1)).alias("n_rows"))
-    return tot.join(bad, KEY, "left").select(
-        KEY, F.coalesce("n_bad", F.lit(0)).alias("n_bad"), "n_rows"
+    bad = F.isnan(F.col("v")) | F.col("v").isNull()
+    return holed.groupBy(KEY).agg(
+        F.count(F.when(bad, F.lit(1))).alias("n_bad"),
+        F.count(F.lit(1)).alias("n_rows"),
     )

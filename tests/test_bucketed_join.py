@@ -69,25 +69,25 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
 
 def test_bucketed_join_matches_unbucketed(spark, bucketed_tables):
     li_t, o_t = bucketed_tables
-    got = sorted(
-        map(
-            tuple,
-            spark.table(li_t)
-            .join(spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy("o_orderpriority")
-            .agg(F.round(F.sum("l_extendedprice"), 4).alias("rev"))
-            .collect(),
-        )
-    )
+    got = {
+        r["o_orderpriority"]: r["rev"]
+        for r in spark.table(li_t)
+        .join(spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+        .collect()
+    }
     li = load_table(spark, SF_DIR, "lineitem")
     o = load_table(spark, SF_DIR, "orders")
-    want = sorted(
-        map(
-            tuple,
-            li.join(o, li["l_orderkey"] == o["o_orderkey"])
-            .groupBy("o_orderpriority")
-            .agg(F.round(F.sum("l_extendedprice"), 4).alias("rev"))
-            .collect(),
-        )
-    )
-    assert got == want
+    want = {
+        r["o_orderpriority"]: r["rev"]
+        for r in li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+        .collect()
+    }
+    # relative tolerance, not exact equality: the two plans accumulate
+    # doubles in different orders (8-bucket SMJ vs AQE-planned)
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) <= 1e-9 * max(abs(want[k]), 1.0), k
