@@ -173,13 +173,22 @@ def range_join_points_to_intervals(
     if overlap:
         raise ValueError(f"column collisions between sides: {sorted(overlap)}")
 
-    wlit = F.lit(bucket_width)
-    p = points.withColumn("_bucket", F.floor(F.col(point_col) / wlit))
+    def _bucket(df: DataFrame, col: str) -> Column:
+        # Integral time columns use integer floor-division: `/` casts to
+        # double, and int64 ns epochs (~1.7e18) exceed double's 2^53
+        # mantissa, losing ~128ns — points/intervals near bucket boundaries
+        # would silently land in mismatched buckets.  (Any monotone
+        # bucketing is join-correct as long as BOTH sides share it; the
+        # exact range predicate below removes false positives.)
+        integral_col = dict(df.dtypes).get(col) in ("bigint", "int", "smallint", "tinyint")
+        if integral_col and float(bucket_width).is_integer():
+            return F.expr(f"`{col}` div {int(bucket_width)}")
+        return F.floor(F.col(col) / F.lit(bucket_width))
+
+    p = points.withColumn("_bucket", _bucket(points, point_col))
     i = intervals.withColumn(
         "_bucket",
-        F.explode(
-            F.sequence(F.floor(F.col(start_col) / wlit), F.floor(F.col(end_col) / wlit))
-        ),
+        F.explode(F.sequence(_bucket(intervals, start_col), _bucket(intervals, end_col))),
     )
     end_pred = (
         (F.col(point_col) < F.col(end_col))

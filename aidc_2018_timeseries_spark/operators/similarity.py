@@ -45,7 +45,7 @@ def brute_force_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", "sim")
     )
@@ -121,7 +121,7 @@ def ivf_topk(
     scored = cand.select(F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", "sim")
     )
@@ -230,7 +230,7 @@ def rp_lsh_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", "sim")
     )

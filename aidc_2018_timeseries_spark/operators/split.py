@@ -77,7 +77,7 @@ def hash_permutation_shuffle(
 
     h = hash64_seeded(F.col(id_col).cast("string"), f"shuf:{seed}")
     w = Window.orderBy(h.asc(), F.col(id_col).asc())
-    return df.withColumn(pos_col, F.row_number().over(w) - 1)
+    return df.withColumn(pos_col, (F.row_number().over(w) - 1).cast("long"))
 
 
 def hash_sample(

@@ -88,8 +88,11 @@ def lang_id(text: Column | str) -> Column:
     scores = lang_scores(text)
     best_lang = F.lit("unknown")
     best_score = F.lit(0)
-    # iterate reversed so earlier languages win ties (strict > comparison)
-    for lang in reversed(list(scores)):
+    # iterate in FORWARD key order with strict >: a later language replaces
+    # the incumbent only when strictly better, so earlier languages win ties
+    # (matches the DuckDB oracle, whose CASE chain tests languages in the
+    # same order with >=; es/fr share stopwords so ties are realizable)
+    for lang in scores:
         cond = scores[lang] > best_score
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, scores[lang]).otherwise(best_score)

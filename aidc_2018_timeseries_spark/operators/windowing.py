@@ -43,7 +43,8 @@ def with_row_index(
     tie-breaking order (e.g. ``["ts", "event_id"]``) for full determinism.
     """
     w = Window.partitionBy(key).orderBy(*_order_cols(order))
-    return df.withColumn(out, F.row_number().over(w))
+    # BIGINT ordinal: int32 row_number overflows past 2^31 rows per series
+    return df.withColumn(out, F.row_number().over(w).cast("long"))
 
 
 def rolling_window_agg(
@@ -139,7 +140,8 @@ def last_window(
     see operators/padding.py).
     """
     w = Window.partitionBy(key).orderBy(*[c.desc() for c in _order_cols(order)])
-    return df.withColumn("rn_from_end", F.row_number().over(w)).filter(
+    # BIGINT ordinal: int32 row_number overflows past 2^31 rows per series
+    return df.withColumn("rn_from_end", F.row_number().over(w).cast("long")).filter(
         F.col("rn_from_end") <= seq_len
     )
 

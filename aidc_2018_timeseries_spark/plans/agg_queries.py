@@ -46,9 +46,10 @@ def agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
       SELECT event_type,
-             CASE WHEN value < 0.0 THEN 0
-                  WHEN value >= 100.0 THEN 11
-                  ELSE CAST(FLOOR(value / 10.0) AS INT) + 1 END AS bucket
+             CAST(CASE WHEN value < 0.0 THEN 0
+                       WHEN value >= 100.0 THEN 11
+                       ELSE CAST(FLOOR(value / 10.0) AS INT) + 1 END
+                  AS BIGINT) AS bucket
       FROM events)
     SELECT event_type, bucket, COUNT(*) AS n
     FROM b GROUP BY event_type, bucket

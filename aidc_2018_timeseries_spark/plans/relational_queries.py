@@ -109,10 +109,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
     )
-    rk = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    # Top-10 via orderBy+limit → TakeOrderedAndProject (per-partition top-k,
+    # merged on one reducer) — NOT a global row_number window, which would
+    # move every aggregated row through a single partition at scale.
     return (
-        agg.withColumn("rk", F.row_number().over(rk))
-        .filter(F.col("rk") <= 10)
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
         .select("l_orderkey", "revenue", "orderdate")
     )
 
@@ -329,9 +331,9 @@ def topk_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flags AS (
       SELECT user_id, event_id, ts,
-             CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id)
-                  > 1800000000000 THEN 1 ELSE 0 END AS new_session
+                  > 1800000000 THEN 1 ELSE 0 END AS new_session
       FROM events),
     sess AS (
       SELECT user_id, event_id,
@@ -345,13 +347,20 @@ def topk_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="gap-based sessionization (30 min): lag + cumulative sum, one shuffle",
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap compare runs in the µs domain on BOTH engines: Spark sees exact
+    # int64 nanos (nanosAsLong) but DuckDB's parquet reader floors ts to µs,
+    # so a ns-precision gap within 1µs of the threshold would flip a session
+    # boundary and cascade ids.  `div` (integer floor-div), never `/`: ns
+    # epochs exceed double's 2^53 mantissa.
+    # (and the window ORDER BY likewise uses µs so same-µs events tie-break
+    # identically by event_id on both engines)
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_ns = 30 * 60 * 1_000_000_000
+    gap_us = 30 * 60 * 1_000_000
     flags = ev.withColumn(
         "new_session",
-        F.when(F.col("ts") - F.lag("ts").over(w) > gap_ns, 1).otherwise(0),
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1).otherwise(0),
     )
     sess = flags.withColumn("session_id", F.sum("new_session").over(cum).cast("long"))
     return sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
@@ -362,7 +371,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -444,10 +454,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping",
     """
     SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate < TIMESTAMP '1997-01-01'
