@@ -145,47 +145,97 @@ def embedding_cosine_dup_pairs(
     return pairs.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
 
 
-def random_hyperplanes(
-    spark, dim: int, n_tables: int, n_bits: int, seed: int = 7
-) -> DataFrame:
-    """Deterministic Gaussian hyperplanes for sign-LSH: one row per
-    (table_id, bit_idx) with a length-``dim`` plane. Tiny (n_tables·n_bits
-    rows) — always broadcast."""
+def hyperplane_rows(
+    dim: int, n_tables: int, n_bits: int, seed: int = 7
+) -> list[tuple[int, int, list[float]]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH: one (table_id,
+    bit_idx, plane) tuple per bit. The single source of truth shared by the
+    Spark expressions below AND the DuckDB oracle generator in
+    plans/dedup_queries.py — both engines see bit-identical plane constants,
+    so the driver's hash check verifies the whole LSH algorithm."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    rows = [
+    return [
         (t, b, [float(x) for x in rng.randn(dim)])
         for t in range(n_tables)
         for b in range(n_bits)
     ]
-    return spark.createDataFrame(rows, "table_id INT, bit_idx INT, plane ARRAY<DOUBLE>")
 
 
 def lsh_signatures(
     vectors: DataFrame,
-    planes: DataFrame,
+    planes: list[tuple[int, int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, table_id, bucket): per table, pack sign(v·plane) bits into a
     bigint bucket key. Cosine-LSH property: P[bit match] = 1 − θ/π, so
-    near-duplicate vectors collide in some table with high probability.
+    similar vectors collide in some table with high probability.
 
-    Plan shape: broadcast the planes, explode each vector into
-    n_tables·n_bits scored rows, pack via groupBy(id, table) — one shuffle
-    keyed by vector id, corpus never self-joined."""
-    scored = vectors.crossJoin(F.broadcast(planes)).select(
-        F.col(id_col),
-        "table_id",
-        # F.shiftleft only takes a literal bit count; the SQL form accepts a
-        # column for the per-row bit position.
-        (
-            (dot(F.col(vec_col), F.col("plane")) > 0).cast("long")
-            * F.expr("CAST(shiftleft(1, bit_idx) AS BIGINT)")
-        ).alias("bit"),
+    Plan shape: the planes are CONSTANTS, so they are inlined as literal
+    array expressions — the signature is computed scan-locally inside
+    whole-stage codegen with NO join and NO shuffle (explode over a
+    per-table struct array is narrow). The sign test uses the 6-dp-rounded
+    dot product so a 1-ulp cross-engine difference cannot flip a bit."""
+    per_table: dict[int, list[tuple[int, list[float]]]] = {}
+    for t, b, plane in planes:
+        per_table.setdefault(t, []).append((b, plane))
+    structs = []
+    for t in sorted(per_table):
+        bucket = F.lit(0).cast("long")
+        for b, plane in sorted(per_table[t]):
+            const = F.array(*[F.lit(x) for x in plane])
+            bit = (F.round(dot(F.col(vec_col), const), 6) > 0).cast("long")
+            bucket = bucket + bit * F.lit(1 << b)
+        structs.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+    return vectors.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("_sig")
+    ).select(id_col, F.col("_sig.table_id").alias("table_id"), F.col("_sig.bucket").alias("bucket"))
+
+
+def embedding_lsh_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    seed: int = 7,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs, LSH-bucketed: candidates = vectors
+    sharing any table's sign-bucket (equi-join on (table_id, bucket) over
+    posting lists), exact-rescored with cosine and thresholded.
+
+    This is the 100 TB catalog face for embedding dedup: the corpus is
+    never self-joined all-pairs — only bucket keys shuffle, and n_bits
+    scales the bucket count with the corpus. Precision is exact (rescore);
+    recall < 1 by design and is pinned against the brute-force baseline in
+    tests/test_similarity.py. Output: (id_a, id_b, sim), id_a < id_b.
+    """
+    planes = hyperplane_rows(dim, n_tables, n_bits, seed)
+    sig = lsh_signatures(vectors, planes, id_col, vec_col)
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
     )
-    return scored.groupBy(id_col, "table_id").agg(F.sum("bit").alias("bucket"))
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sim = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 def rp_lsh_topk(
@@ -195,6 +245,7 @@ def rp_lsh_topk(
     n_bits: int = 10,
     k: int = 5,
     seed: int = 7,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -207,10 +258,11 @@ def rp_lsh_topk(
     (equi-join on (table_id, bucket) — a shuffled hash join over posting
     lists, never a cross product), then exact rescoring + top-k. Recall
     grows with n_tables, candidate cost with 2^-n_bits; both knobs are
-    per-deployment. Approximate ⇒ driver rows-only check; recall vs brute
-    force is pinned in tests/test_similarity.py."""
-    dim = len(vectors.select(vec_col).first()[0])
-    planes = random_hyperplanes(vectors.sparkSession, dim, n_tables, n_bits, seed)
+    per-deployment. ``dim`` is a parameter (a driver-side ``.first()``
+    sniff would submit an extra job before the main plan). Approximate ⇒
+    driver rows-only check; recall vs brute force is pinned in
+    tests/test_similarity.py."""
+    planes = hyperplane_rows(dim, n_tables, n_bits, seed)
     sig_v = lsh_signatures(vectors, planes, id_col, vec_col)
     sig_q = lsh_signatures(queries, planes, query_id_col, query_vec_col)
     cand = (

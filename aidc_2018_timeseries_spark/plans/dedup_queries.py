@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 
 from aidc_2018_timeseries_spark.functions.hashing import hash64_sql
 from aidc_2018_timeseries_spark.operators import dedup as dd
-from aidc_2018_timeseries_spark.operators.similarity import embedding_cosine_dup_pairs
+from aidc_2018_timeseries_spark.operators.similarity import (
+    embedding_lsh_dup_pairs,
+    hyperplane_rows,
+)
 from aidc_2018_timeseries_spark.operators.text import tokenize_sql
 from aidc_2018_timeseries_spark.plans.catalog import register
 from aidc_2018_timeseries_spark.sources.tables import load_table
@@ -142,22 +145,63 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_buckets(d, "doc_id", "text")
 
 
-# --- embedding-cosine near-dup pairs ---
-@register(
-    "dedup_embedding_cosine",
+# --- embedding near-dup pairs, LSH-bucketed (the 100 TB face) ---
+_LSH_DIM, _LSH_TABLES, _LSH_BITS, _LSH_SEED = 64, 8, 4, 7
+_LSH_THRESHOLD = 0.35  # testdata max sim ≈0.51 — 0.95 would be vacuously empty
+
+
+def _embedding_lsh_oracle() -> str:
+    """Restate the WHOLE LSH algorithm in DuckDB with the same hyperplane
+    constants (one Python source of truth: similarity.hyperplane_rows), so
+    the driver's hash check verifies the algorithm — signature packing,
+    bucket join, rescore — not just row counts. The sign test uses the
+    6-dp-rounded dot product on both engines so a 1-ulp difference cannot
+    flip a bit."""
+    rows = hyperplane_rows(_LSH_DIM, _LSH_TABLES, _LSH_BITS, _LSH_SEED)
+    values = ",\n      ".join(
+        f"({t}, {b}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        for t, b, plane in rows
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    planes(table_id, bit_idx, plane) AS (VALUES
+      {values}),
+    sig AS (
+      SELECT v.vec_id, p.table_id,
+             CAST(SUM(CASE WHEN ROUND(list_dot_product(v.e, p.plane), 6) > 0
+                           THEN (CAST(1 AS BIGINT) << p.bit_idx) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.table_id),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(list_dot_product(va.e, vb.e)
+                   / (SQRT(list_dot_product(va.e, va.e))
+                      * SQRT(list_dot_product(vb.e, vb.e))), 6) AS sim
+      FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b)
+    SELECT id_a, id_b, sim FROM scored WHERE sim >= {_LSH_THRESHOLD}
     """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-           ROUND(list_dot_product(l.e, r.e)
-                 / (SQRT(list_dot_product(l.e, l.e)) * SQRT(list_dot_product(r.e, r.e))),
-                 6) AS sim
-    FROM v l JOIN v r ON l.vec_id < r.vec_id
-    WHERE ROUND(list_dot_product(l.e, r.e)
-                / (SQRT(list_dot_product(l.e, l.e)) * SQRT(list_dot_product(r.e, r.e))),
-                6) >= 0.35
-    """,
-    doc="embedding similar pairs: cosine ≥ 0.35 brute-force (testdata max sim ≈0.51 — 0.95 would be vacuously empty; IVF is the scale path)",
+
+
+@register(
+    "dedup_embedding_lsh",
+    _embedding_lsh_oracle(),
+    doc="embedding near-dup pairs via sign-LSH buckets + exact cosine "
+    "rescore: scan-local signatures (planes inlined as constants — no join, "
+    "no shuffle), only (table_id, bucket) keys shuffle, corpus never "
+    "self-joined all-pairs. Brute force remains the pytest recall baseline "
+    "(tests/test_similarity.py).",
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_cosine_dup_pairs(e, threshold=0.35)
+    return embedding_lsh_dup_pairs(
+        e,
+        threshold=_LSH_THRESHOLD,
+        n_tables=_LSH_TABLES,
+        n_bits=_LSH_BITS,
+        seed=_LSH_SEED,
+        dim=_LSH_DIM,
+    )

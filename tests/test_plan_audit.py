@@ -32,8 +32,6 @@ load_all()
 _NESTED_LOOP_OK = {
     "knn_brute_force",  # scale path: knn_ivf / knn_rp_lsh
     "knn_ivf",  # centroid assignment broadcasts the centroid set
-    "knn_rp_lsh",  # plane signatures broadcast the (tiny) plane set
-    "dedup_embedding_cosine",  # scale path: LSH buckets (dedup_minhash/simhash)
 }
 
 

@@ -74,6 +74,42 @@ def test_rp_lsh_recall_against_brute_force(spark):
         assert r["neighbor_id"] != r["query_id"]
 
 
+def test_lsh_dup_pairs_precision_and_recall(spark):
+    """The LSH dedup face vs the brute-force pair baseline: precision must
+    be EXACT (every emitted pair is a true ≥-threshold pair with the same
+    rounded sim — rescoring is exact, LSH only prunes candidates), recall
+    pinned with a floor (weak-cosine testdata: pairs sit at 0.35-0.51 where
+    sign-LSH collision probability is modest by design)."""
+    from aidc_2018_timeseries_spark.operators.similarity import (
+        embedding_cosine_dup_pairs,
+        embedding_lsh_dup_pairs,
+    )
+
+    v = load_table(spark, SF_DIR, "embeddings")
+    exact = {(r["id_a"], r["id_b"]): r["sim"] for r in embedding_cosine_dup_pairs(v, 0.35).collect()}
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in embedding_lsh_dup_pairs(v, 0.35).collect()}
+    assert got, "LSH face found no pairs at all"
+    for pair, sim in got.items():
+        assert pair in exact and exact[pair] == sim  # exact precision
+    recall = len(got) / len(exact)
+    assert recall >= 0.2, f"recall {recall}"
+
+
+def test_lsh_dup_pairs_one_bit_recovers_exact(spark):
+    """1-bit tables ≈ full candidate coverage (any pair agrees on one sign
+    bit in some of 16 tables w.h.p.) → the LSH face must equal brute force:
+    pruning, not scoring, is the only approximation."""
+    from aidc_2018_timeseries_spark.operators.similarity import (
+        embedding_cosine_dup_pairs,
+        embedding_lsh_dup_pairs,
+    )
+
+    v = load_table(spark, SF_DIR, "embeddings")
+    exact = sorted(map(tuple, embedding_cosine_dup_pairs(v, 0.35).collect()))
+    got = sorted(map(tuple, embedding_lsh_dup_pairs(v, 0.35, n_tables=16, n_bits=1).collect()))
+    assert exact == got
+
+
 def test_rp_lsh_wide_tables_recover_exact(spark):
     """With 1-bit tables every pair collides in a table with prob ~1 per
     table; 16 such tables ≈ full candidate coverage → must equal brute
