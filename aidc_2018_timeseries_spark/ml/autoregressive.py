@@ -33,6 +33,24 @@ def trailing_mean_predictor(window: np.ndarray) -> float:
     return float(window.mean())
 
 
+def tcn_predictor(weights) -> Callable[[np.ndarray], float]:
+    """Adapt a TCN (ml/tcn.py) to the autoregressive predictor contract —
+    the reference generates with the TRAINED MODEL, not a summary statistic
+    (``utils/inference.py:61`` calls the model inside the loop; topology at
+    ``topologies/temporal_convolutional_network.py:51-65``). The 1-D value
+    window becomes a (T, 1) feature matrix for ``tcn_forward``.
+
+    Returned closure is cloudpickle-shipped to executors with the weights
+    captured — each series' generation loop runs model inference worker-side.
+    """
+    from aidc_2018_timeseries_spark.ml.tcn import tcn_forward
+
+    def predict(window: np.ndarray) -> float:
+        return tcn_forward(window.reshape(-1, 1), weights)
+
+    return predict
+
+
 def autoregressive_generate(
     df: DataFrame,
     key: str,

@@ -332,6 +332,39 @@ def w14_identity_autoregressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- W14 with the TCN model predictor: reference-faithful generation ---
+@register(
+    "w14_tcn_autoregressive",
+    None,  # model-in-the-loop generation is not SQL-expressible → rows-only;
+    # distributed == local-NumPy-replay parity is pinned in
+    # tests/test_autoregressive_seq2seq.py::test_autoregressive_with_tcn_predictor
+    doc="W14 composed with the TCN forward pass (reference "
+    "utils/inference.py:61 generates with the trained model): each series' "
+    "sliding window feeds tcn_forward worker-side via applyInPandas; "
+    "deterministic seeded weights make the output reproducible",
+)
+def w14_tcn_autoregressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.ml.autoregressive import (
+        autoregressive_generate,
+        tcn_predictor,
+    )
+    from aidc_2018_timeseries_spark.ml.tcn import TCNWeights
+    from aidc_2018_timeseries_spark.operators.filters import min_length_filter
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = min_length_filter(ev, "user_id", min_len=15)
+    out = autoregressive_generate(
+        ev, "user_id", ["ts", "event_id"], "value",
+        seq_len=10, n_steps=5,
+        predictor=tcn_predictor(TCNWeights(n_features=1, seed=42)),
+    )
+    return out.select(
+        "user_id", "step",
+        F.round("generated", 6).alias("generated"),
+        F.round("actual", 6).alias("actual"),
+    )
+
+
 # --- music chain: W6 pad/truncate + W8 teacher forcing, end to end ---
 @register(
     "music_pipeline_teacher_forcing",

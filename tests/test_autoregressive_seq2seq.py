@@ -40,6 +40,41 @@ def test_autoregressive_matches_local_loop(spark):
             window = np.append(window[1:], pred)
 
 
+def test_autoregressive_with_tcn_predictor(spark):
+    """Distributed model-in-the-loop generation == a local NumPy replay of
+    the same loop (reference utils/inference.py:61 generates with the
+    trained model; same seeded weights on both sides)."""
+    from aidc_2018_timeseries_spark.ml.autoregressive import tcn_predictor
+    from aidc_2018_timeseries_spark.ml.tcn import TCNWeights, tcn_forward
+
+    rng = np.random.default_rng(23)
+    data = {sid: rng.uniform(-1, 1, size=25) for sid in (1, 2)}
+    rows = [
+        (sid, t, float(v)) for sid, vals in data.items() for t, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "series_id int, t int, v double")
+    seq_len, n_steps = 10, 5
+    weights = TCNWeights(n_features=1, seed=42)
+    got = {}
+    gen = autoregressive_generate(
+        df, "series_id", "t", "v", seq_len, n_steps, predictor=tcn_predictor(weights)
+    )
+    for r in gen.collect():
+        got[(r["series_id"], r["step"])] = (r["generated"], r["actual"])
+    assert len(got) == len(data) * n_steps
+
+    local_weights = TCNWeights(n_features=1, seed=42)  # fresh instance: same seed
+    for sid, vals in data.items():
+        tail = vals[-(seq_len + n_steps):]
+        window = tail[:seq_len].copy()
+        for step in range(1, n_steps + 1):
+            pred = tcn_forward(window.reshape(-1, 1), local_weights)
+            g, a = got[(sid, step)]
+            assert g == pytest.approx(pred, rel=1e-12)
+            assert a == pytest.approx(float(tail[seq_len + step - 1]), rel=1e-12)
+            window = np.append(window[1:], pred)
+
+
 def test_autoregressive_short_series_emits_nothing(spark):
     df = spark.createDataFrame(
         [(1, t, float(t)) for t in range(5)], "series_id int, t int, v double"
