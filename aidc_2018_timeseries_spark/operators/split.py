@@ -51,6 +51,42 @@ def time_threshold_split(
     )
 
 
+def per_key_time_split(
+    df: DataFrame,
+    key: str,
+    order: str | Sequence[str],
+    train_ratio: float,
+    out: str = "split",
+) -> DataFrame:
+    """Scale-clean W13 for multi-series datasets: per key, the first
+    round(ratio·n_k) rows in time order are 'train', the rest 'test'.
+
+    Unlike the global-row_number form (:func:`time_ordered_split`, which
+    funnels every row through ONE partition), this uses key-partitioned
+    windows only — the shuffle is by series key and usually reuses the
+    partitioning the windowing stage already established. Semantically it
+    is the reference's window-axis split applied per series, which is what
+    a forecasting pipeline over many independent series wants (each
+    series' most-recent tail is held out).
+
+    Rounding note: with ratio 0.8 the fractional part of ratio·n is in
+    {0, .2, .4, .6, .8} — never .5 — so HALF_UP (Spark) vs half-away
+    (DuckDB) vs banker's rounding cannot disagree.
+    """
+    order_names = [order] if isinstance(order, str) else list(order)
+    w = Window.partitionBy(key).orderBy(*[F.col(n) for n in order_names])
+    wc = Window.partitionBy(key)
+    return (
+        df.withColumn("_krn", F.row_number().over(w))
+        .withColumn("_kcut", F.round(F.lit(train_ratio) * F.count(F.lit(1)).over(wc), 0))
+        .withColumn(
+            out,
+            F.when(F.col("_krn") <= F.col("_kcut"), F.lit("train")).otherwise(F.lit("test")),
+        )
+        .drop("_krn", "_kcut")
+    )
+
+
 def seeded_shuffle(df: DataFrame, seed: int = 42) -> DataFrame:
     """O2: random permutation (reference ``turbofan.py:266-271``); X and y
     stay aligned because they are columns of one row."""

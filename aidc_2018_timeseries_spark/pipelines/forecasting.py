@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from aidc_2018_timeseries_spark.operators.filters import drop_zero_windows
-from aidc_2018_timeseries_spark.operators.split import time_ordered_split
+from aidc_2018_timeseries_spark.operators.split import per_key_time_split
 from aidc_2018_timeseries_spark.operators.windowing import (
     rolling_window_arrays,
     tumbling_windows_with_lookahead,
@@ -51,7 +51,10 @@ def next_point_dataset(
     out = drop_zero_windows(out.withColumn("_nested", F.array("_flat")), "_nested").drop(
         "_nested", "_flat"
     )
-    return time_ordered_split(out, [key, "rn"], train_ratio)
+    # per-series time split: key-partitioned windows only, no global sort
+    # (the 100 TB-clean W13 form; leaf op time_ordered_split remains the
+    # single-stream global variant)
+    return per_key_time_split(out, key, "rn", train_ratio)
 
 
 def sequence_forecast_dataset(
@@ -71,5 +74,5 @@ def sequence_forecast_dataset(
     """
     win = tumbling_windows_with_lookahead(df, key, order, value_col, seq_len, look_ahead)
     keys = win.select(key, "window_id").distinct()
-    keys = time_ordered_split(keys, [key, "window_id"], train_ratio)
+    keys = per_key_time_split(keys, key, "window_id", train_ratio)
     return win.join(keys, [key, "window_id"])

@@ -261,14 +261,17 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     w AS (SELECT user_id, rn, x_mean, value AS y FROM r
           WHERE rn >= 21 AND win_abs > 1e-12),
-    s AS (SELECT *, ROW_NUMBER() OVER (ORDER BY user_id, rn) AS gpos,
-                 CAST(ROUND(0.8 * COUNT(*) OVER (), 0) AS BIGINT) AS cutoff FROM w)
+    s AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS krn,
+                 CAST(ROUND(0.8 * COUNT(*) OVER (PARTITION BY user_id), 0) AS BIGINT)
+                   AS cutoff FROM w)
     SELECT user_id, rn, x_mean, y,
-           CASE WHEN gpos <= cutoff THEN 'train' ELSE 'test' END AS split
+           CASE WHEN krn <= cutoff THEN 'train' ELSE 'test' END AS split
     FROM s
     """,
     doc="§3.3 TimeSeries chain end-to-end: rolling (T+1)-windows (T=20) → "
-    "X/next-point-y pairs → P4 zero filter → W13 80/20 time split",
+    "X/next-point-y pairs → P4 zero filter → W13 80/20 time split, "
+    "assigned PER SERIES (key-partitioned windows, no global sort — the "
+    "100 TB-clean split; each series' most-recent 20% is held out)",
 )
 def forecasting_next_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aidc_2018_timeseries_spark.pipelines.forecasting import next_point_dataset
@@ -443,16 +446,18 @@ def music_pipeline_teacher_forcing(spark: SparkSession, sf_dir: str) -> DataFram
     keys AS (SELECT DISTINCT user_id, window_id FROM win),
     split AS (
       SELECT user_id, window_id,
-             ROW_NUMBER() OVER (ORDER BY user_id, window_id) AS gpos,
-             CAST(ROUND(0.8 * COUNT(*) OVER (), 0) AS BIGINT) AS cutoff
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY window_id) AS krn,
+             CAST(ROUND(0.8 * COUNT(*) OVER (PARTITION BY user_id), 0) AS BIGINT)
+               AS cutoff
       FROM keys)
     SELECT w.user_id, w.window_id, w.t_in_window, w.x, w.y,
-           CASE WHEN s.gpos <= s.cutoff THEN 'train' ELSE 'test' END AS split
+           CASE WHEN s.krn <= s.cutoff THEN 'train' ELSE 'test' END AS split
     FROM win w JOIN split s ON s.user_id = w.user_id AND s.window_id = w.window_id
     """,
     doc="§3.3 predict_seq=True chain end-to-end: W7 tumbling windows "
     "(T=10) + look_ahead=3 shifted target + 80/20 split assigned per "
-    "WINDOW (the reference splits over the window axis)",
+    "WINDOW within each series (the reference splits over the window "
+    "axis; key-partitioned, no global sort)",
 )
 def forecasting_tumbling_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aidc_2018_timeseries_spark.pipelines.forecasting import sequence_forecast_dataset
