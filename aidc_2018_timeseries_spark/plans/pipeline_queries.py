@@ -335,6 +335,77 @@ def w14_identity_autoregressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M11/M12 training curve: per-step loss of a deterministic GD fit ---
+_GD_LR, _GD_STEPS, _GD_CAP, _GD_TRAIL = 0.1, 25, 130, 3
+
+
+def _training_curve_oracle() -> str:
+    """Replay the EXACT optimization trajectory in DuckDB: same integer
+    sufficient statistics, same (identically-associated) double recurrence
+    via recursive CTE — the driver hash-checks every iterate of the fit,
+    not just the final metric. Arithmetic strings mirror
+    ml/training.py:rul_gd_training_curve verbatim."""
+    return f"""
+    WITH RECURSIVE r AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS len
+      FROM events),
+    lab AS (SELECT rn AS x, LEAST(len - rn, {_GD_CAP}) AS y FROM r),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy
+      FROM lab),
+    d AS (
+      SELECT n, syy,
+             CAST(sy AS DOUBLE) / n AS ybar,
+             sxx - CAST(sx AS DOUBLE) * sx / n AS suu,
+             sxy - CAST(sx AS DOUBLE) * sy / n AS suy
+      FROM stats),
+    gd AS (
+      SELECT 0 AS step, CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b
+      UNION ALL
+      SELECT step + 1,
+             a - {_GD_LR!r} * 2.0 * (a - ybar),
+             b - {_GD_LR!r} * 2.0 * (b - suy / suu)
+      FROM gd, d WHERE step < {_GD_STEPS - 1}),
+    curve AS (
+      SELECT step,
+             a*a + b*b*suu/n - 2.0*b*suy/n - 2.0*a*ybar + CAST(syy AS DOUBLE)/n AS loss
+      FROM gd, d),
+    tr AS (
+      SELECT step, loss,
+             AVG(loss) OVER (ORDER BY step
+               ROWS BETWEEN {_GD_TRAIL - 1} PRECEDING AND CURRENT ROW) AS lt
+      FROM curve)
+    SELECT CAST(step AS BIGINT) AS step, ROUND(loss, 6) AS loss,
+           ROUND(lt, 6) AS loss_trail
+    FROM tr
+    """
+
+
+@register(
+    "training_curve_gd",
+    _training_curve_oracle(),
+    doc="M11/M12 training-curve face: per-step MSE of a preconditioned GD "
+    "fit of rul ~ a + b*(cycle - mean) — ONE distributed integer-exact "
+    "statistics aggregation, then a deterministic scalar recurrence whose "
+    "every iterate both engines reproduce bit-identically; loss_trail is "
+    "the A8 trailing-3 mean over the real step series (reference "
+    "training/timeseries_trainer.py:92-110 logs cost per iteration)",
+)
+def training_curve_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.ml.training import rul_gd_training_curve
+
+    ev = load_table(spark, sf_dir, "events")
+    return rul_gd_training_curve(
+        ev, "user_id", ["ts", "event_id"],
+        lr=_GD_LR, n_steps=_GD_STEPS, cap=_GD_CAP, trailing=_GD_TRAIL,
+    )
+
+
 # --- W14 with the TCN model predictor: reference-faithful generation ---
 @register(
     "w14_tcn_autoregressive",

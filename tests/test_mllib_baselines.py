@@ -40,3 +40,40 @@ def test_logistic_alarm_baseline_beats_chance(spark):
     # the cycle feature makes RUL<30 highly separable; 0.7 still leaves
     # headroom for split variance while catching a broken label join
     assert auc > 0.7, (auc, pos_rate)
+
+
+def test_training_curve_descends_to_closed_form_minimum(spark):
+    """The GD loss series must strictly decrease and approach the exact
+    least-squares minimum (computed independently with NumPy from the raw
+    (cycle, rul) pairs) — the curve is real optimization, not decoration."""
+    import numpy as np
+
+    from aidc_2018_timeseries_spark.ml.training import rul_gd_training_curve
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = sorted(
+        (r["step"], r["loss"], r["loss_trail"])
+        for r in rul_gd_training_curve(ev, "user_id", ["ts", "event_id"]).collect()
+    )
+    losses = [l for _, l, _ in rows]
+    assert len(losses) == 25
+    assert all(b < a for a, b in zip(losses, losses[1:])), "loss must descend"
+
+    # closed-form minimum from the raw pairs
+    pdf = (
+        ev.select("user_id", "ts", "event_id").sort("user_id", "ts", "event_id").toPandas()
+    )
+    pdf["rn"] = pdf.groupby("user_id").cumcount() + 1
+    pdf["len"] = pdf.groupby("user_id")["rn"].transform("max")
+    x = pdf["rn"].to_numpy(dtype=float)
+    y = np.minimum(pdf["len"] - pdf["rn"], 130).to_numpy(dtype=float)
+    u = x - x.mean()
+    b_opt = (u * y).sum() / (u * u).sum()
+    min_loss = float(np.mean((y.mean() + b_opt * u - y) ** 2))
+    gap0 = losses[0] - min_loss
+    assert losses[-1] - min_loss < 0.01 * gap0, (losses[-1], min_loss)
+
+    # loss_trail is the trailing-3 mean of the same series
+    for i, (_, _, lt) in enumerate(rows):
+        w = losses[max(0, i - 2) : i + 1]
+        assert abs(lt - sum(w) / len(w)) < 1e-6
