@@ -153,3 +153,48 @@ def test_sequence_forecast_dataset(spark):
     assert len(rows) == 25
     for r in rows:
         assert r["y"] == r["x"] + 3.0  # look-ahead pairing
+
+
+def _have_scipy() -> bool:
+    try:
+        import scipy  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _have_scipy(), reason="scipy not installed")
+def test_read_mat_music_roundtrip(spark, tmp_path):
+    """S4 with a real .mat fixture: write a 2-song piano-roll cell array,
+    ingest, and run the music chain end to end on it."""
+    import numpy as np
+    from scipy.io import savemat
+
+    from aidc_2018_timeseries_spark.sources.matfiles import read_mat_music
+
+    n_keys = 4
+    songs = [np.eye(n_keys)[: 3, :], np.ones((5, n_keys))]
+    path = str(tmp_path / "chorales.mat")
+    savemat(path, {"traindata": np.array(songs, dtype=object)})
+    df = read_mat_music(spark, path, n_keys=n_keys)
+    rows = df.collect()
+    assert {r["split"] for r in rows} == {"traindata"}
+    assert df.count() == 3 + 5
+    got = {
+        (r["song_id"], r["t"]): r["keys"]
+        for r in rows
+    }
+    assert got[(0, 1)] == [0.0, 1.0, 0.0, 0.0]
+    # chain into the music dataset (W6 pad/truncate + W8 teacher forcing)
+    ds = music_dataset(df, key="song_id", order="t", seq_len=4, n_keys=n_keys)
+    out = {r["song_id"]: r for r in ds.collect()}
+    assert len(out[0]["x"]) == 4 and out[0]["x"][1] == [0.0] * n_keys  # front pad
+
+
+@pytest.mark.skipif(_have_scipy(), reason="covers the no-scipy guard")
+def test_read_mat_music_without_scipy_raises(spark, tmp_path):
+    from aidc_2018_timeseries_spark.sources.matfiles import read_mat_music
+
+    with pytest.raises(NotImplementedError, match="pre-convert"):
+        read_mat_music(spark, str(tmp_path / "missing.mat"))
