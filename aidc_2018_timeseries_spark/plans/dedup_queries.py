@@ -16,7 +16,8 @@ from aidc_2018_timeseries_spark.operators.similarity import (
     embedding_lsh_dup_pairs,
     hyperplane_rows,
 )
-from aidc_2018_timeseries_spark.operators.text import tokenize_sql
+from aidc_2018_timeseries_spark.operators.graph import connected_components
+from aidc_2018_timeseries_spark.operators.text import shingle_hashes, tokenize_sql
 from aidc_2018_timeseries_spark.plans.catalog import register
 from aidc_2018_timeseries_spark.sources.tables import load_table
 
@@ -50,9 +51,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash + LSH candidate pairs ---
-def _minhash_oracle() -> str:
-    # docs with no shingles (< n tokens) are excluded, mirroring the
-    # explode-based Spark implementation
+def _minhash_pair_ctes() -> str:
+    """Shared CTE chain ``t, sh, sigs, bands, pairs`` restating the whole
+    MinHash+LSH candidate generation in DuckDB (same md5-derived constants
+    as the Spark side). Docs with no shingles (< n tokens) are excluded,
+    mirroring the explode-based Spark implementation."""
     sig_exprs = []
     for i, (a, b) in enumerate(dd._minhash_params(_NUM_HASHES)):
         sig_exprs.append(
@@ -66,15 +69,18 @@ def _minhash_oracle() -> str:
         bh = hash64_sql(f"array_to_string([{cols}], ',')")
         band_rows.append(f"SELECT doc_id, {band} AS band_id, {bh} AS band_hash FROM sigs")
     bands_union = " UNION ALL ".join(band_rows)
-    return f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, {_SH30} AS sh30 FROM t WHERE len({_SH30}) > 0),
     sigs AS (SELECT doc_id, {", ".join(sig_exprs)} FROM sh),
-    bands AS ({bands_union})
-    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-    FROM bands l JOIN bands r
-      ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
-    """
+    bands AS ({bands_union}),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id)"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_pair_ctes()} SELECT id_a, id_b FROM pairs"
 
 
 @register(
@@ -184,6 +190,46 @@ def _embedding_lsh_oracle() -> str:
       FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b)
     SELECT id_a, id_b, sim FROM scored WHERE sim >= {_LSH_THRESHOLD}
     """
+
+
+# --- near-dup clustering: candidate pairs → connected components ---
+def _cc_oracle() -> str:
+    """Transitive closure of the MinHash candidate-pair graph via a
+    recursive CTE: reach(node, root) accumulates every id reachable from
+    each node; MIN(root) per node is exactly the min-label-propagation
+    fixpoint the Spark loop computes."""
+    return f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM sh
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)
+    SELECT node AS doc_id, MIN(root) AS component_id FROM reach GROUP BY node
+    """
+
+
+@register(
+    "dedup_clusters_cc",
+    _cc_oracle(),
+    doc="near-dup clusters: MinHash+LSH candidate pairs → connected "
+    "components (min-label propagation, operators/graph.py). The full "
+    "dedup pipeline's final step: every doc labeled with its duplicate "
+    "cluster's canonical (minimum) id; singletons label themselves. "
+    "Oracle = recursive-CTE transitive closure over the same pairs.",
+)
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=_SHINGLE_N
+    )
+    nodes = d.select("doc_id").where(
+        F.size(shingle_hashes(F.col("text"), n=_SHINGLE_N)) > 0
+    )
+    return connected_components(
+        nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
 
 
 @register(
