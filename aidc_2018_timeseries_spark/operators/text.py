@@ -149,3 +149,37 @@ def subword_count_sql(expr: str) -> str:
     doubled for SQL string quoting)."""
     pat = BPE_ISH_PATTERN.replace("'", "''")
     return f"len(regexp_extract_all(lower({expr}), '{pat}'))"
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Top-k terms per document by smoothed TF-IDF (sklearn convention:
+    idf = ln((1+N)/(1+df)) + 1), with a deterministic (score desc, term
+    asc) tie-break. Returns (id, term, tfidf, rk).
+
+    Plan shape at scale: explode → per-(doc, term) count (map-side
+    partial), document frequency via a second partial agg shuffled by
+    term, one broadcast-size join back, and a per-doc window for the
+    top-k — every wide op keyed by doc or term, never all-pairs. The
+    corpus size N is a driver-side scalar (one metadata-only parquet
+    count), the same bookkeeping class as a training loop's step scalars.
+    Scores are rounded to 6 dp BEFORE ranking so engine ulp noise in
+    ``ln`` can't flip the cross-engine order.
+    """
+    n_docs = df.count()
+    terms = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + F.lit(1.0)
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "term", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )

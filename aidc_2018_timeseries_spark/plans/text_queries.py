@@ -127,6 +127,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.doc_fingerprint("text").alias("fingerprint"))
 
 
+# --- TF-IDF top terms ---
+@register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             ROUND(tf * (LN((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, tfidf, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 3
+    """,
+    doc="top-3 terms per doc by smoothed TF-IDF (idf = ln((1+N)/(1+df))+1), "
+    "rounded before ranking with (score desc, term asc) tie-break so the "
+    "rank order is cross-engine deterministic",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
 @register(
     "text_subword_count",
     f"""
