@@ -1,0 +1,81 @@
+"""Resample / gap-fill: irregular event streams onto a fixed time grid.
+
+The reference's pipelines assume regularly-sampled series (its windowing
+ops index by position — e.g. ``utils/dataloaders.py`` strided windows);
+real telemetry arrives irregularly. This operator is the bridge: bucket
+each series to a fixed grid (last observation per bucket wins),
+densify the grid between each series' first and last observation, and
+forward-fill the gaps — after which every position-indexed windowing
+operator (W1/W2/W7...) applies.
+
+Scale shape: one shuffle keyed by (series, bucket) for the
+last-observation pick, one per-series aggregate for the grid bounds,
+``sequence``+``explode`` to densify (rows generated executor-side,
+proportional to output), a join back keyed by (series, bucket), and one
+per-series ordered window for the fill. No global windows, no driver
+materialization; per-series grid length is bounded by the series' own
+time span over the bucket width.
+
+All time arithmetic runs in the µs domain with integer ``div`` (ns
+epochs exceed double's 2^53 mantissa; DuckDB's parquet reader floors ns
+to µs — see spark-duckdb-parity-gotchas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_ns_col: str,
+    value_col: str,
+    bucket_us: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-key fixed-grid resample with forward fill.
+
+    ``ts_ns_col`` is an int64 nanosecond epoch; ``bucket_us`` the grid
+    step in microseconds. Within a bucket the LAST observation wins,
+    ordered by (µs timestamp, tiebreak_col) so same-µs rows resolve
+    deterministically. Returns
+    (key, bucket_start_us, value, is_observed) for every grid step
+    between each key's first and last observation.
+    """
+    t_us = F.expr(f"{ts_ns_col} div 1000")
+    based = df.select(
+        F.col(key_col).alias("key"),
+        (t_us - (t_us % F.lit(bucket_us))).alias("bucket_start_us"),
+        t_us.alias("t_us"),
+        F.col(tiebreak_col).alias("tb"),
+        F.col(value_col).alias("v"),
+    )
+    pick = Window.partitionBy("key", "bucket_start_us").orderBy(
+        F.desc("t_us"), F.desc("tb")
+    )
+    last_per_bucket = (
+        based.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("key", "bucket_start_us", "v")
+    )
+    bounds = based.groupBy("key").agg(
+        F.min("bucket_start_us").alias("b0"), F.max("bucket_start_us").alias("b1")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("b0"), F.col("b1"), F.lit(bucket_us))
+        ).alias("bucket_start_us"),
+    )
+    ffill = Window.partitionBy("key").orderBy("bucket_start_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = grid.join(last_per_bucket, ["key", "bucket_start_us"], "left")
+    return joined.select(
+        F.col("key").alias(key_col),
+        "bucket_start_us",
+        F.last("v", ignorenulls=True).over(ffill).alias("value"),
+        F.when(F.col("v").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("is_observed"),
+    )

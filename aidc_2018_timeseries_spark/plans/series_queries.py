@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aidc_2018_timeseries_spark.operators import filters, labels, metrics, normalize, shifts, split, windowing
+from aidc_2018_timeseries_spark.operators import filters, labels, metrics, normalize, resample, shifts, split, windowing
 from aidc_2018_timeseries_spark.plans.catalog import register
 from aidc_2018_timeseries_spark.sources.tables import load_table
 
@@ -450,6 +450,47 @@ def w11_reverse_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w12_last_timepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = _sorted_series_array(_events(spark, sf_dir))
     return seqs.select(KEY, shifts.last_timepoint("seq").alias("last_value"))
+
+
+# --- resample / gap-fill: irregular events → fixed 6h grid, ffill ---
+_BUCKET_US = 6 * 3600 * 1_000_000
+
+
+@register(
+    "resample_ffill_6h",
+    f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, value FROM events),
+    b AS (SELECT user_id, t_us - (t_us % {_BUCKET_US}) AS bucket_start_us,
+                 t_us, event_id, value FROM e),
+    last AS (
+      SELECT user_id, bucket_start_us, value FROM (
+        SELECT user_id, bucket_start_us, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket_start_us
+                                  ORDER BY t_us DESC, event_id DESC) AS rn
+        FROM b) WHERE rn = 1),
+    bounds AS (SELECT user_id, MIN(bucket_start_us) AS b0, MAX(bucket_start_us) AS b1
+               FROM b GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(b0, b1, {_BUCKET_US})) AS bucket_start_us
+             FROM bounds),
+    j AS (SELECT user_id, bucket_start_us, value AS v
+          FROM grid LEFT JOIN last USING (user_id, bucket_start_us))
+    SELECT user_id, bucket_start_us,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_start_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           CASE WHEN v IS NULL THEN 0 ELSE 1 END AS is_observed
+    FROM j
+    """,
+    doc="resample irregular per-user events onto a 6h grid: last "
+    "observation per bucket (deterministic (t_us, event_id) tie-break), "
+    "dense grid between each user's first/last bucket via "
+    "sequence+explode, forward-fill via last(ignorenulls) — the bridge "
+    "from irregular telemetry to the position-indexed windowing ops",
+)
+def resample_ffill_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample.resample_ffill(
+        _events(spark, sf_dir), KEY, "ts", VAL, _BUCKET_US, "event_id"
+    )
 
 
 # --- P6: NaN guard as a countable data-quality operator ---
