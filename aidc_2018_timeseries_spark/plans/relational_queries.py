@@ -483,6 +483,200 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q4 shape: correlated EXISTS with inequality → semi join ---
+# (testdata lineitem has no commit/receipt dates; "late" is restated as
+#  shipped > 60 days after the order date — same correlated-semi shape)
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS with an inequality across both "
+    "tables — Catalyst plans a semi join on the equi key with the date "
+    "inequality as join residual, never a per-row subquery",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --- TPC-H Q10 shape: 3-way join + top-20 by aggregated revenue ---
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name, ROUND(c.c_acctbal, 2) AS acctbal,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: fact-fact shuffle join + broadcast dims + "
+    "top-20 via TakeOrderedAndProject (per-partition top-k, no global "
+    "sort); c_custkey tie-break keeps the cut deterministic",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            # 4 dp, not 2: the products are exact multiples of 0.0001, so a
+            # 2 dp round can land ON a half-cent boundary where engine
+            # summation-order ulp noise flips the digit; at 4 dp the true
+            # value is always 5e-5 from the nearest boundary.
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- TPC-H Q13 shape: outer join + two-level aggregation ---
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left outer join with an ON-clause filter (kept "
+    "out of the WHERE so customers with zero orders survive), then the "
+    "orders-per-customer histogram",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# --- TPC-H Q14 shape: broadcast dim join + conditional revenue share ---
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0.0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    doc="TPC-H Q14 shape: date-pruned fact scan + broadcast part join + "
+    "conditional-share aggregate in one partial-agg pass",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 6).alias("promo_pct"),
+        )
+    )
+
+
+# --- TPC-H Q18 shape: HAVING subquery → semi join on grouped keys ---
+@register(
+    "q18_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: grouped-HAVING IN-subquery as a semi join on the "
+    "aggregated key set; top-100 via TakeOrderedAndProject with an "
+    "orderkey tie-break",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(big, o["o_orderkey"] == big["big_orderkey"], "left_semi")
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
 # --- GROUPING SETS (the general form rollup/cube specialize) ---
 @register(
     "groupingsets_lineitem",
