@@ -33,9 +33,9 @@ Design for scale:
   plan would otherwise grow linearly and Catalyst analysis would
   dominate). On a multi-node cluster with executor churn, swap for
   reliable ``checkpoint()`` with a checkpoint dir.
-- The per-round convergence check collects ONE scalar (changed-label
-  count) — driver-side bookkeeping, same class as a training loop's loss
-  readout, not a data-plane collect.
+- The per-round convergence check collects ONE scalar (the label sum) —
+  driver-side bookkeeping, same class as a training loop's loss readout,
+  not a data-plane collect.
 """
 
 from __future__ import annotations
@@ -73,26 +73,28 @@ def connected_components(
         F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
     ).localCheckpoint(eager=True)
 
+    # Convergence via the label-sum invariant: a round only ever LOWERS
+    # labels, so sum(label) strictly decreases until the fixpoint — an
+    # unchanged sum means no label moved. One tiny aggregate over the
+    # already-materialized checkpoint instead of a join against the
+    # previous round's labels. Summed as decimal(38,0): an int64 sum
+    # would overflow under ANSI mode at billions of nodes.
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
     try:
         for _ in range(max_iter):
             msgs = und.join(labels, und["u"] == labels["node"]).select(
                 F.col("v").alias("node"), F.col("label")
             )
-            new_labels = (
+            labels = (
                 labels.unionByName(msgs)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.label") < F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+            cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+            if cur_sum == prev_sum:
                 return labels
+            prev_sum = cur_sum
     finally:
         und.unpersist()
     raise RuntimeError(f"connected_components: no fixpoint within {max_iter} rounds")

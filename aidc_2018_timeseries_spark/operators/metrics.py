@@ -38,3 +38,36 @@ def trailing_mean(
     order_names = [order] if isinstance(order, str) else list(order)
     w = Window.orderBy(*[F.col(n) for n in order_names]).rowsBetween(-(k - 1), Window.currentRow)
     return df.withColumn(out, F.avg(F.col(value_col)).over(w))
+
+
+def ewma_final(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Per-key final EWMA via an in-order array fold — the oracle-checkable
+    face of the streaming EWMA recurrence (streaming/stateful.py uses the
+    identical update mean += alpha*(x - mean), initialized to the first
+    value; tests pin the two equal).
+
+    One shuffle (groupBy key); the fold runs JVM-side over each key's
+    sorted value array, so per-key memory is the series length — the same
+    bound every per-series windowing operator here already carries. Both
+    engines fold left-to-right over identically-ordered lists, so the
+    double arithmetic is bit-identical before the final rounding.
+    """
+    arr = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col(value_col).alias("v")))
+    )
+    vals = F.transform(arr, lambda s: s["v"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc + F.lit(alpha) * (x - acc),
+    )
+    return df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(folded, 6).alias("ewma"),
+    )

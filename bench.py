@@ -41,6 +41,10 @@ HEADLINE = [
     "text_fingerprint",
     "knn_brute_force",
     "s5_adding_problem",
+    # added round 2 (absent from BENCH_r01 — subtract when comparing totals)
+    "resample_ffill_6h",
+    "text_tfidf_top_terms",
+    "q10_returned_items",
 ]
 
 
