@@ -29,6 +29,33 @@ def streaming_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ewma_final_fold",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, value FROM events),
+    s AS (SELECT user_id, list(value ORDER BY t_us, event_id) AS vals
+          FROM e GROUP BY user_id)
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n,
+           ROUND(list_reduce(vals, (acc, x) -> acc + 0.1 * (x - acc)), 6) AS ewma
+    FROM s
+    """,
+    doc="per-series final EWMA via an in-order JVM-side array fold — the "
+    "ORACLE-CHECKED face of the streaming EWMA recurrence (identical "
+    "update rule to streaming/stateful.py; both engines fold the same "
+    "ordered list left-to-right, so doubles match bit-for-bit before "
+    "rounding). Ordering runs in the µs domain with event_id tie-break.",
+)
+def ewma_final_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from aidc_2018_timeseries_spark.operators.metrics import ewma_final
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("t_us"), "event_id", "value"
+    )
+    return ewma_final(ev, "user_id", ["t_us", "event_id"], "value", alpha=0.1)
+
+
+@register(
     "events_hourly_tumbling",
     """
     SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,

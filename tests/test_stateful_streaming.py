@@ -163,3 +163,36 @@ def test_watermark_drops_late_events(spark, tmp_path):
         ).collect()
     }
     assert batch["2024-01-01 00:00:00"] == 3
+
+
+def test_ewma_final_fold_matches_stateful_recurrence(spark):
+    """The oracle-checked array-fold face must agree with the
+    applyInPandasWithState recurrence: the fold's per-key result equals
+    the stateful operator's ewma at each key's LAST row."""
+    from pyspark.sql import functions as F
+
+    from aidc_2018_timeseries_spark.operators.metrics import ewma_final
+    from aidc_2018_timeseries_spark.streaming.stateful import ewma_anomaly_batch
+    from aidc_2018_timeseries_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.expr("ts div 1000").alias("t_us"), "event_id", "value"
+    )
+    fold = {
+        r["user_id"]: (r["n"], r["ewma"])
+        for r in ewma_final(ev, "user_id", ["t_us", "event_id"], "value", alpha=0.1).collect()
+    }
+
+    per_row = ewma_anomaly_batch(
+        load_table(spark, SF_DIR, "events").select("user_id", "event_id", "ts", "value")
+    )
+    w_last = {}
+    for r in per_row.collect():
+        key = r["user_id"]
+        cur = w_last.get(key)
+        if cur is None or (r["ts"], r["event_id"]) > cur[:2]:
+            w_last[key] = (r["ts"], r["event_id"], r["ewma"])
+    assert set(fold) == set(w_last)
+    for k, (_, ewma) in fold.items():
+        assert abs(ewma - w_last[k][2]) < 1e-6, k
