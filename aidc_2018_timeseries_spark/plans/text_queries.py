@@ -127,6 +127,38 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.doc_fingerprint("text").alias("fingerprint"))
 
 
+# --- corpus vocabulary stats (tokenizer/vocab-building step) ---
+@register(
+    "text_vocab_top_terms",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    stats AS (SELECT term, COUNT(*) AS tf_total,
+                     COUNT(DISTINCT doc_id) AS df_docs
+              FROM terms GROUP BY term)
+    SELECT term, tf_total, df_docs FROM stats
+    ORDER BY tf_total DESC, term LIMIT 50
+    """,
+    doc="corpus vocabulary: top-50 terms by total frequency with document "
+    "frequency — the vocab-construction scan of a tokenizer pipeline; "
+    "per-term partial aggregation then TakeOrderedAndProject (per-"
+    "partition top-k merge, no global sort), (count desc, term asc) "
+    "tie-break keeps the cut deterministic",
+)
+def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tx.tokenize(F.col("text"))).alias("term"))
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf_total"),
+            F.countDistinct("doc_id").alias("df_docs"),
+        )
+        .orderBy(F.desc("tf_total"), "term")
+        .limit(50)
+    )
+
+
 # --- TF-IDF top terms ---
 @register(
     "text_tfidf_top_terms",
