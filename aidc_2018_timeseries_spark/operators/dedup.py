@@ -49,15 +49,21 @@ def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     return params
 
 
+def content_hash(text_col: Column | str) -> Column:
+    """Normalized-content md5: lowercase + whitespace-collapse before
+    hashing, so trivially-reformatted copies collide. Shared by the batch
+    exact dedup and the streaming first-seen dedup."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.concat_ws(" ", tokenize(c)))
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via content hash: returns (doc_id, canonical_id) for
     EVERY doc; duplicates share a canonical (minimum) id.
-
-    Normalization: lowercase + whitespace-collapse before hashing, so
-    trivially-reformatted copies collide.
     """
-    norm = F.concat_ws(" ", tokenize(F.col(text_col)))
-    hashed = _spread(df, id_col).select(F.col(id_col), F.md5(norm).alias("content_hash"))
+    hashed = _spread(df, id_col).select(
+        F.col(id_col), content_hash(text_col).alias("content_hash")
+    )
     # window-min instead of groupBy + join-back: one shuffle on the content
     # hash assigns every doc its group's canonical id in the same pass.
     w = Window.partitionBy("content_hash")
