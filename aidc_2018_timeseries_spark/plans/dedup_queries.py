@@ -51,11 +51,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash + LSH candidate pairs ---
-def _minhash_pair_ctes() -> str:
+def _minhash_pair_ctes(t_src: str | None = None) -> str:
     """Shared CTE chain ``t, sh, sigs, bands, pairs`` restating the whole
     MinHash+LSH candidate generation in DuckDB (same md5-derived constants
     as the Spark side). Docs with no shingles (< n tokens) are excluded,
-    mirroring the explode-based Spark implementation."""
+    mirroring the explode-based Spark implementation. ``t_src`` overrides
+    the SELECT providing ``t(doc_id, toks)`` so composed pipelines can
+    run the same chain over a filtered corpus."""
     sig_exprs = []
     for i, (a, b) in enumerate(dd._minhash_params(_NUM_HASHES)):
         sig_exprs.append(
@@ -69,7 +71,8 @@ def _minhash_pair_ctes() -> str:
         bh = hash64_sql(f"array_to_string([{cols}], ',')")
         band_rows.append(f"SELECT doc_id, {band} AS band_id, {bh} AS band_hash FROM sigs")
     bands_union = " UNION ALL ".join(band_rows)
-    return f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t_src = t_src or f"SELECT doc_id, {_TOKS} AS toks FROM documents"
+    return f"""t AS ({t_src}),
     sh AS (SELECT doc_id, {_SH30} AS sh30 FROM t WHERE len({_SH30}) > 0),
     sigs AS (SELECT doc_id, {", ".join(sig_exprs)} FROM sh),
     bands AS ({bands_union}),
@@ -149,6 +152,114 @@ def _simhash_oracle() -> str:
 def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dd.simhash_buckets(d, "doc_id", "text")
+
+
+# --- composed LLM-corpus pipeline: quality → lang → near-dup CC → canon ---
+_Q_THRESHOLD = 0.3
+
+
+def _corpus_pipeline_oracle() -> str:
+    """The whole curation chain in one recursive-CTE statement: quality
+    scoring, language ID, MinHash candidate pairs over the SURVIVORS,
+    transitive closure, canonical (min-id) representative per cluster with
+    its cluster size; no-shingle survivors pass through as singletons."""
+    from aidc_2018_timeseries_spark.operators.text import LANG_STOPWORDS
+
+    def in_list(words: list[str]) -> str:
+        return ", ".join(f"'{w}'" for w in words)
+
+    score = {
+        lang: f"CAST(len(list_filter(toks, x -> x IN ({in_list(w)}))) AS BIGINT) AS s_{lang}"
+        for lang, w in LANG_STOPWORDS.items()
+    }
+    lang_case = """CASE WHEN s_en > 0 AND s_en >= GREATEST(s_de, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_de > 0 AND s_de >= GREATEST(s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_es > 0 AND s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+                WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+                WHEN s_zh > 0 THEN 'zh'
+                ELSE 'unknown' END"""
+    quality = (
+        "ROUND(0.4 * LEAST(n_stop / n * 5.0, 1.0) + 0.3 * (n_distinct / n) "
+        "+ 0.3 * (LEAST(n, 200.0) / 200.0), 6)"
+    )
+    return f"""
+    WITH RECURSIVE
+    t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    feat AS (SELECT doc_id, toks,
+                    CAST(len(toks) AS DOUBLE) AS n,
+                    CAST(len(list_filter(toks, x -> x IN ({in_list(LANG_STOPWORDS["en"])})))
+                         AS DOUBLE) AS n_stop,
+                    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+                    {", ".join(score.values())}
+             FROM t0),
+    scored AS (SELECT doc_id, toks, {quality} AS quality, {lang_case} AS lang_pred FROM feat),
+    kept AS (SELECT doc_id, toks, quality FROM scored
+             WHERE quality >= {_Q_THRESHOLD} AND lang_pred = 'en'),
+    {_minhash_pair_ctes(t_src="SELECT doc_id, toks FROM kept")},
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM sh
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+    comp AS (SELECT node, MIN(root) AS component_id FROM reach GROUP BY node),
+    sizes AS (SELECT component_id, COUNT(*) AS cluster_size FROM comp GROUP BY component_id),
+    canon AS (SELECT c.node AS doc_id, z.cluster_size
+              FROM comp c JOIN sizes z ON c.component_id = z.component_id
+              WHERE c.node = c.component_id)
+    SELECT k.doc_id, k.quality, c.cluster_size
+    FROM canon c JOIN kept k USING (doc_id)
+    UNION ALL
+    SELECT k.doc_id, k.quality, CAST(1 AS BIGINT) AS cluster_size
+    FROM kept k LEFT JOIN sh ON k.doc_id = sh.doc_id WHERE sh.doc_id IS NULL
+    """
+
+
+@register(
+    "llm_corpus_pipeline",
+    _corpus_pipeline_oracle(),
+    doc="the LLM-side flagship: quality filter (Gopher/C4-style score ≥ "
+    "0.3) → language gate (en) → MinHash+LSH near-dup clustering over the "
+    "survivors → one canonical doc per cluster with its cluster size. "
+    "Every stage is the already-verified leaf operator; this face proves "
+    "they COMPOSE — one declarative plan plus the bounded CC rounds.",
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        F.round(tx.quality_score("text"), 6).alias("quality"),
+        tx.lang_id("text").alias("lang_pred"),
+    )
+    kept = scored.where(
+        (F.col("quality") >= _Q_THRESHOLD) & (F.col("lang_pred") == "en")
+    )
+    nodes = kept.where(
+        F.size(shingle_hashes(F.col("text"), n=_SHINGLE_N)) > 0
+    ).select("doc_id")
+    pairs = dd.minhash_candidate_pairs(
+        kept, "doc_id", "text", num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=_SHINGLE_N
+    )
+    labels = connected_components(
+        nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    canon = (
+        labels.where(F.col("node") == F.col("label"))
+        .join(sizes, "label")
+        .select(F.col("node").alias("doc_id"), "cluster_size")
+    )
+    with_quality = canon.join(kept.select("doc_id", "quality"), "doc_id").select(
+        "doc_id", "quality", "cluster_size"
+    )
+    singletons = (
+        kept.join(nodes, "doc_id", "left_anti")
+        .select("doc_id", "quality", F.lit(1).cast("long").alias("cluster_size"))
+    )
+    return with_quality.unionByName(singletons)
 
 
 # --- embedding near-dup pairs, LSH-bucketed (the 100 TB face) ---
