@@ -263,6 +263,38 @@ def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- unpivot (melt): wide measures → long (the inverse of pivot) ---
+@register(
+    "unpivot_lineitem_measures",
+    """
+    WITH f AS (SELECT * FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1996-02-01')
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM f
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM f
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM f
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM f
+    """,
+    doc="unpivot/melt: four measure columns to long form via the native "
+    "DataFrame.unpivot (Expand node — one scan, rows generated "
+    "executor-side, no shuffle); oracle restates it as UNION ALL",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
 # --- set operations ---
 @register(
     "setop_active_minus_building",

@@ -452,6 +452,29 @@ def w12_last_timepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seqs.select(KEY, shifts.last_timepoint("seq").alias("last_value"))
 
 
+# --- per-series ntile bucketing (quartile assignment) ---
+@register(
+    "ntile_user_value_quartiles",
+    """
+    SELECT user_id, event_id,
+           CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+                AS INTEGER) AS quartile
+    FROM events
+    """,
+    doc="per-series NTILE(4) bucket assignment over a total (value, "
+    "event_id) order — standard first-buckets-get-the-remainder "
+    "semantics, identical in both engines; partitioned window, no "
+    "global sort",
+)
+def ntile_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(KEY).orderBy("value", "event_id")
+    return _events(spark, sf_dir).select(
+        KEY, "event_id", F.ntile(4).over(w).cast("int").alias("quartile")
+    )
+
+
 # --- resample / gap-fill: irregular events → fixed 6h grid, ffill ---
 _BUCKET_US = 6 * 3600 * 1_000_000
 
