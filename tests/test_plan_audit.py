@@ -77,3 +77,43 @@ def test_single_exchange_flagship(spark):
     # numbered detail headers only
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
     assert len(re.findall(r"\(\d+\) Sort", plan)) <= 1
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_shipping_priority", "q10_returned_items", "q18_large_orders", "text_vocab_top_terms"]
+)
+def test_topk_plans_take_ordered(spark, name):
+    """Every global top-k face must plan TakeOrderedAndProject (per-
+    partition top-k + merge), never a single-partition global window/sort
+    (the r01 q3 weakness)."""
+    plan = _formatted_plan(CATALOG[name].spark_fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, name
+
+
+def test_q14_broadcasts_part(spark):
+    """The part dimension must broadcast — the fact side never shuffles
+    for a dim join."""
+    plan = _formatted_plan(CATALOG["q14_promo_revenue"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_unpartitioned_window_resample(spark):
+    """The resample chain's windows are all per-key — a global window here
+    would single-partition the whole grid. Every windowspecdefinition in
+    the plan must name a partitioning column."""
+    import re
+
+    plan = _formatted_plan(CATALOG["resample_ffill_6h"].spark_fn(spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "no window nodes found — plan shape changed?"
+    for args in specs:
+        assert "key" in args or "user_id" in args, f"unpartitioned window: {args}"
+
+
+def test_unpivot_is_expand_no_shuffle(spark):
+    """Unpivot must plan an Expand over one scan with zero Exchanges."""
+    import re
+
+    plan = _formatted_plan(CATALOG["unpivot_lineitem_measures"].spark_fn(spark, SF_DIR))
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
