@@ -73,3 +73,59 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return windowed_event_aggregate(ev, window="6 hours")
+
+
+@register(
+    "events_sliding_6h_1h",
+    """
+    WITH e AS (SELECT event_type, value,
+                      time_bucket(INTERVAL 1 HOUR, ts) AS tb FROM events),
+    w AS (SELECT event_type, value,
+                 tb - k * INTERVAL 1 HOUR AS wstart
+          FROM e CROSS JOIN (SELECT unnest(range(6)) AS k))
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(wstart + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM w GROUP BY 1, 2, 3
+    """,
+    doc="batch face of the SLIDING event-time window (6h window, 1h "
+    "slide): each event replicated into its 6 covering windows — the "
+    "oracle restates the replication with time_bucket + range; identical "
+    "code runs on readStream with a watermark",
+)
+def events_sliding_6h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.streaming.windows import windowed_event_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_event_aggregate(ev, window="6 hours", slide="1 hour")
+
+
+@register(
+    "events_session_window",
+    """
+    WITH flags AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flags)
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Spark's NATIVE session_window state machine vs the classic "
+    "lag+cumsum sessionization as the oracle — same 30-min gap, but "
+    "session_window closes a session when the next event is AT OR PAST "
+    "last_ts + gap (>=), hence the oracle's >= where the lag+cumsum "
+    "catalog face uses strict >",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.streaming.windows import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_stream(ev, gap="30 minutes")
