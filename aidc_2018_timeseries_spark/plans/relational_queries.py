@@ -759,3 +759,453 @@ def exists_customers_with_open_order(spark: SparkSession, sf_dir: str) -> DataFr
         .join(done_o, c["c_custkey"] == done_o["o_custkey"], "left_anti")
         .select("c_custkey", "c_name")
     )
+
+
+# --- TPC-H Q7 shape: volume shipping between two nations ---
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+          OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bidirectional nation-pair revenue by ship year; "
+    "fact-fact join shuffles on orderkey, all four dims broadcast",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation"))
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# --- TPC-H Q8 shape: national market share within a region ---
+@register(
+    "q8_market_share",
+    """
+    WITH all_sales AS (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             ns.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = nc.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           ROUND(ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END), 4)
+                 / ROUND(SUM(volume), 4), 6) AS mkt_share
+    FROM all_sales GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: NATION_2's share of ASIA-customer STANDARD-part "
+    "revenue per order year. Numerator and denominator are rounded to the "
+    "exact 1e-4 lattice before the (deterministic IEEE) division so the "
+    "6dp share is bit-identical across engines",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region"))
+    ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        joined.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0))), 4
+            ).alias("num"),
+            F.round(F.sum(vol), 4).alias("den"),
+        )
+    )
+    return agg.select(
+        "o_year", F.round(F.col("num") / F.col("den"), 6).alias("mkt_share")
+    )
+
+
+# --- TPC-H Q9 shape: product-line profit by nation and year ---
+@register(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+    FROM (
+      SELECT ns.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape (no partsupp table in the testdata, so cost is the "
+    "0.6 * p_retailprice proxy): profit per supplier nation per order year. "
+    "Fact-fact join on orderkey; part/supplier/nation broadcast",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+# --- TPC-H Q15 shape: top supplier via scalar MAX subquery ---
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: quarterly revenue per supplier, then the "
+    "argmax via a scalar subquery. Spark broadcasts the 1-row max back "
+    "onto the aggregate (no global sort); revenue is rounded to the exact "
+    "1e-4 lattice before the equality so argmax ties cross engines",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.max_revenue)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- TPC-H Q16 shape: distinct-supplier counts with a NOT IN exclusion ---
+@register(
+    "q16_part_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#11' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape (lineitem stands in for the missing partsupp "
+    "bridge): distinct suppliers per (brand, type, size), excluding "
+    "negative-balance suppliers via NOT IN -> broadcast anti join",
+)
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# --- TPC-H Q17 shape: correlated per-part average subquery ---
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(ROUND(SUM(l.l_extendedprice), 4) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17 shape: lines below 20% of their part's average "
+    "quantity. The correlated scalar subquery decorrelates to a per-part "
+    "aggregate joined back (broadcast: only Brand#13 parts survive). "
+    "l_quantity is integer-valued so the parallel AVG is exact and the "
+    "0.2*avg threshold is bit-identical across engines",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    brand_lines = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    thresholds = brand_lines.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    return (
+        brand_lines.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.round(F.sum("l_extendedprice"), 4) / F.lit(7.0), 4).alias("avg_yearly")
+        )
+    )
+
+
+# --- TPC-H Q19 shape: disjunctive join predicates ---
+@register(
+    "q19_discounted_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: OR of conjunctive brand/size/quantity clauses. "
+    "The disjunction's common p_partkey equi-key keeps the plan a "
+    "broadcast hash join (part side pre-filtered by the OR's union of "
+    "brand clauses), never a nested-loop",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(1, 15))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# --- TPC-H Q21 shape: EXISTS + NOT EXISTS over the same fact table ---
+@register(
+    "q21_sole_latest_supplier",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape (testdata has no commit/receipt dates, so 'late' "
+    "means 'shipped at-or-after every other supplier on the order'): the "
+    "correlated EXISTS/NOT EXISTS pair decorrelates into per-order "
+    "aggregates (max ship, count at max, second max) joined back on "
+    "l_orderkey -- every shuffle in the plan is on the one natural key, "
+    "vs the oracle's literal per-row subqueries",
+)
+def q21_sole_latest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    # Per (order, supplier): that supplier's latest ship date on the order.
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max_ship")
+    )
+    s1 = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.max("supp_max_ship").alias("max1")
+    )
+    order_stats = (
+        per_supp.join(s1, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_max_ship") == F.col("max1"), 1).otherwise(0)
+            ).alias("cnt_at_max"),
+            F.max(
+                F.when(F.col("supp_max_ship") < F.col("max1"), F.col("supp_max_ship"))
+            ).alias("max2"),
+            F.first("n_supp").alias("n_supp"),
+            F.first("max1").alias("max1"),
+        )
+    )
+    qual = (
+        li.join(o_f, li.l_orderkey == o_f.o_orderkey)
+        .join(per_supp, ["l_orderkey", "l_suppkey"])
+        .join(order_stats, "l_orderkey")
+        .withColumn(
+            "other_max",
+            F.when(
+                (F.col("supp_max_ship") < F.col("max1")) | (F.col("cnt_at_max") >= 2),
+                F.col("max1"),
+            ).otherwise(F.col("max2")),
+        )
+        .filter(
+            (F.col("n_supp") >= 2) & (F.col("l_shipdate") >= F.col("other_max"))
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --- TPC-H Q22 shape: scalar AVG subquery + anti join ---
+@register(
+    "q22_dormant_rich_customers",
+    """
+    WITH pos AS (
+      SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    st AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS total_cents, COUNT(*) AS n_pos FROM pos
+    )
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, st
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * st.n_pos > st.total_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape (c_nationkey stands in for the missing phone "
+    "prefix; every testdata customer has SOME order, so dormant = no "
+    "currently-open order): customers above the positive-balance average. "
+    "The average comparison runs in the exact integer-cents domain "
+    "(bal*100 * n_pos > sum_cents) so the threshold is bit-identical "
+    "across engines -- a float AVG would be summation-order-sensitive. "
+    "Spark: 1-row broadcast of the global stats + broadcast anti join",
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    st = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(cents).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(st))
+        .filter(cents * F.col("n_pos") > F.col("total_cents"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

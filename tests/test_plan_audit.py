@@ -32,6 +32,10 @@ load_all()
 _NESTED_LOOP_OK = {
     "knn_brute_force",  # scale path: knn_ivf / knn_rp_lsh
     "knn_ivf",  # centroid assignment broadcasts the centroid set
+    # Scalar-subquery shape: the broadcast side is the 1-row global-stats
+    # aggregate (sum/count of balances) — a constant-size build side at any
+    # data scale, exactly how engines plan uncorrelated scalar subqueries.
+    "q22_dormant_rich_customers",
 }
 
 
