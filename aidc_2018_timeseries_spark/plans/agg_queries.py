@@ -80,3 +80,78 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
     )
+
+
+@register(
+    "agg_corr_matrix",
+    """
+    WITH j AS (
+      SELECT l.l_returnflag AS flag,
+             CAST(l.l_quantity AS BIGINT) AS x,
+             CAST(p.p_size AS BIGINT) AS y,
+             CAST(l.l_linenumber AS BIGINT) AS z
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    s AS (
+      SELECT flag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(z) AS BIGINT) AS sz,
+             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+             CAST(SUM(z*z) AS BIGINT) AS szz,
+             CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*z) AS BIGINT) AS sxz,
+             CAST(SUM(y*z) AS BIGINT) AS syz
+      FROM j GROUP BY flag
+    )
+    SELECT flag,
+      ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+            / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) * SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+        AS corr_qty_size,
+      ROUND(CAST(n*sxz - sx*sz AS DOUBLE)
+            / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) * SQRT(CAST(n*szz - sz*sz AS DOUBLE))), 6)
+        AS corr_qty_line,
+      ROUND(CAST(n*syz - sy*sz AS DOUBLE)
+            / (SQRT(CAST(n*syy - sy*sy AS DOUBLE)) * SQRT(CAST(n*szz - sz*sz AS DOUBLE))), 6)
+        AS corr_size_line
+    FROM s
+    """,
+    doc="pairwise Pearson correlations of (quantity, part size, line "
+    "number) per return flag, computed from a SINGLE scan's exact integer "
+    "moment sums (n, Σx, Σx², Σxy — all < 2^53 so bit-identical across "
+    "engines; the closed-form corr then uses deterministic IEEE math). "
+    "The one-pass moment pattern is the map-side-combinable way to get a "
+    "full correlation matrix at 100 TB: k columns → k(k+1)/2 sums in one "
+    "shuffle, vs k² separate corr() aggregates",
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.col("p_size").cast("long").alias("y"),
+        F.col("l_linenumber").cast("long").alias("z"),
+    )
+    s = j.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+        den = F.sqrt((F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")) * F.sqrt(
+            (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+        )
+        return F.round(num / den, 6)
+
+    return s.select(
+        "flag",
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("corr_qty_size"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("corr_qty_line"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("corr_size_line"),
+    )

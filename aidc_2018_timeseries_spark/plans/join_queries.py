@@ -147,3 +147,33 @@ def range_join_error_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clicks"),
         F.round(F.sum("value"), 6).alias("click_value"),
     )
+
+
+@register(
+    "join_salted_per_supplier",
+    """
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    doc="salted skew-resistant join (operators/joins.py:salted_join): the "
+    "big side's keys scatter across 16 salt sub-keys and the small side "
+    "replicates per salt, so one hot supplier can never pin a whole "
+    "reducer. The oracle is the PLAIN join + aggregate — salting must be "
+    "row-identical to the unsalted join (the salt never leaks out)",
+)
+def join_salted_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_suppkey", "s_suppkey"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    joined = salted_join(li, s, on="s_suppkey", n_salts=16, how="inner")
+    return joined.groupBy("s_suppkey", "s_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )

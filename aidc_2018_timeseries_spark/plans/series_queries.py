@@ -544,3 +544,38 @@ def p6_nan_guard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(bad, F.lit(1))).alias("n_bad"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# --- time-based RANGE window frame (value-based bounds, not row counts) ---
+@register(
+    "events_range_frame_hour",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, value FROM events)
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_in_hour,
+           ROUND(AVG(value) OVER w, 6) AS hour_mean
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="trailing ONE-HOUR mean per user over irregular events: a "
+    "value-based RANGE frame (frame membership decided by timestamp "
+    "distance, not row offsets — W1's ROWS frame cannot express this on "
+    "irregular data). Bounds run in the exact µs domain on both engines; "
+    "one shuffle on user_id, frame scan is a per-partition sliding pass",
+)
+def events_range_frame_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("t_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_in_hour"),
+        F.round(F.avg("value").over(w), 6).alias("hour_mean"),
+    )
