@@ -75,3 +75,42 @@ def test_session_window_stream_runs(spark, stream_dir):
     result = _run_stream(spark, sessionize_stream(stream), "sessions")
     batch = sessionize_stream(static)
     assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_interval_join_stream_matches_batch(spark, stream_dir):
+    """Stream-stream interval join (clicks x errors within 10 min, per
+    user) must equal the same join executed in batch over the static
+    table. Both sides stream from the same file source, filtered by
+    event type; watermarks + the bounded time condition let Spark evict
+    join state, which is what makes the join runnable on infinite
+    streams."""
+    from pyspark.sql import functions as F
+
+    from aidc_2018_timeseries_spark.streaming.joins import interval_join_streams
+
+    static = load_table(spark, SF_DIR, "events")
+    clicks_b = static.filter(F.col("event_type") == "click")
+    errors_b = static.filter(F.col("event_type") == "error")
+    golden = sorted(map(tuple, interval_join_streams(clicks_b, errors_b).collect()))
+    assert golden, "batch golden must be non-empty for the test to mean anything"
+
+    def stream():
+        return (
+            spark.readStream.schema(static.drop("ts_utc").schema)
+            .parquet(stream_dir)
+            .withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    clicks_s = stream().filter(F.col("event_type") == "click")
+    errors_s = stream().filter(F.col("event_type") == "error")
+    joined = interval_join_streams(clicks_s, errors_s)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM interval_join").collect()))
+    assert got == golden
