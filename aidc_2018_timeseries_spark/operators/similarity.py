@@ -238,6 +238,71 @@ def embedding_lsh_dup_pairs(
     )
 
 
+def lsh_signatures_arrow(
+    vectors: DataFrame,
+    planes: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched sibling of ``lsh_signatures``: same output contract
+    (id, table_id, bucket), computed as ONE dense NumPy GEMM per Arrow
+    batch — (batch_rows × dim) @ (dim × n_planes) — instead of n_planes
+    interpreted expression-tree dot products per row.
+
+    Why both exist: the expression form is bit-reproducible against the
+    DuckDB oracle (sequential fold, HALF_UP rounding), so the
+    oracle-checked dedup face keeps it; but its per-row interpreted HOF
+    cost scales with n_tables × n_bits and dominates wall time for the
+    big-table kNN configuration. Signature hashing is a dense GEMM — the
+    textbook case for the Arrow/Pandas-UDF escape hatch (BLAS does
+    batch_rows × 80 × 64 multiply-adds at memory speed). Sign flips vs
+    the JVM fold would need |v·p| within float ulps of the rounding
+    boundary — irrelevant for the rows-only approximate face, and recall
+    is pinned in tests either way.
+    """
+    import numpy as np
+    import pandas as pd
+
+    per_table: dict[int, list[tuple[int, list[float]]]] = {}
+    for t, b, plane in planes:
+        per_table.setdefault(t, []).append((b, plane))
+    tables = sorted(per_table)
+    # (dim × n_planes) matrix, planes grouped by table then bit order
+    P = np.array(
+        [plane for t in tables for _, plane in sorted(per_table[t])], dtype=np.float64
+    ).T
+    weights = np.array(
+        [1 << b for t in tables for b, _ in sorted(per_table[t])], dtype=np.int64
+    )
+    bits_per_table = [len(per_table[t]) for t in tables]
+    table_ids = np.array(tables, dtype=np.int32)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            signs = np.round(v @ P, 6) > 0  # (rows × n_planes)
+            weighted = signs * weights
+            buckets = np.empty((len(pdf), len(tables)), dtype=np.int64)
+            off = 0
+            for i, nb in enumerate(bits_per_table):
+                buckets[:, i] = weighted[:, off : off + nb].sum(axis=1)
+                off += nb
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), len(tables)),
+                    "table_id": np.tile(table_ids, n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, table_id int, bucket long"
+    )
+
+
 def rp_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -263,8 +328,8 @@ def rp_lsh_topk(
     driver rows-only check; recall vs brute force is pinned in
     tests/test_similarity.py."""
     planes = hyperplane_rows(dim, n_tables, n_bits, seed)
-    sig_v = lsh_signatures(vectors, planes, id_col, vec_col)
-    sig_q = lsh_signatures(queries, planes, query_id_col, query_vec_col)
+    sig_v = lsh_signatures_arrow(vectors, planes, id_col, vec_col)
+    sig_q = lsh_signatures_arrow(queries, planes, query_id_col, query_vec_col)
     cand = (
         sig_q.join(sig_v, ["table_id", "bucket"])
         .select(query_id_col, id_col)
