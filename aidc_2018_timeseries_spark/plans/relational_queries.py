@@ -1114,30 +1114,33 @@ def q21_sole_latest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     # Per (order, supplier): that supplier's latest ship date on the order.
+    # The per-order stats (supplier count, latest ship, how many suppliers
+    # share it, second-latest) come from WHOLE-PARTITION window aggregates
+    # over this one small aggregate — Spark has no DataFrame-level common
+    # subexpression elimination, so the join-back formulation re-scanned
+    # lineitem five times; this shape scans it twice (once for the
+    # aggregate, once for the qualifying rows).
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("supp_max_ship")
     )
-    s1 = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.max("supp_max_ship").alias("max1")
+    w = Window.partitionBy("l_orderkey")
+    enriched = per_supp.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.max("supp_max_ship").over(w).alias("max1"),
     )
-    order_stats = (
-        per_supp.join(s1, "l_orderkey")
-        .groupBy("l_orderkey")
-        .agg(
-            F.sum(
-                F.when(F.col("supp_max_ship") == F.col("max1"), 1).otherwise(0)
-            ).alias("cnt_at_max"),
-            F.max(
-                F.when(F.col("supp_max_ship") < F.col("max1"), F.col("supp_max_ship"))
-            ).alias("max2"),
-            F.first("n_supp").alias("n_supp"),
-            F.first("max1").alias("max1"),
-        )
+    order_stats = enriched.select(
+        "*",
+        F.sum(
+            F.when(F.col("supp_max_ship") == F.col("max1"), 1).otherwise(0)
+        ).over(w).alias("cnt_at_max"),
+        F.max(
+            F.when(F.col("supp_max_ship") < F.col("max1"), F.col("supp_max_ship"))
+        ).over(w).alias("max2"),
     )
     qual = (
         li.join(o_f, li.l_orderkey == o_f.o_orderkey)
-        .join(per_supp, ["l_orderkey", "l_suppkey"])
-        .join(order_stats, "l_orderkey")
+        .join(order_stats, ["l_orderkey", "l_suppkey"])
         .withColumn(
             "other_max",
             F.when(
