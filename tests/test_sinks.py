@@ -45,3 +45,34 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = buf.getvalue()
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf_lines and any("error" in l for l in pf_lines), plan
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Long-lived datasets accrete columns: a reader over many partitions
+    written at different schema versions must see the union schema, with
+    NULLs where an older file lacks a column — and a query that only
+    touches the ORIGINAL columns must still prune to them (column append
+    cannot tax old readers)."""
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    p = str(tmp_path / "evolving")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(p, mode="append")
+    # v2 of the pipeline adds a derived column
+    ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "value_sq", F.col("value") * F.col("value")
+    ).write.parquet(p, mode="append")
+
+    back = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(back.columns) == {"event_id", "user_id", "value", "value_sq"}
+    assert back.count() == ev.count()
+    # old-file rows surface NULL for the new column; new-file rows don't
+    n_old = back.filter(F.col("value_sq").isNull()).count()
+    assert n_old == ev.filter(F.col("event_id") % 2 == 0).count()
+    # a projection of original columns stays prunable (ReadSchema shrinks)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.select("event_id", "value").explain("formatted")
+    plan = buf.getvalue()
+    assert "value_sq" not in plan.split("ReadSchema")[1].splitlines()[0]
