@@ -11,6 +11,7 @@ so the driver records the rows-only check (SURVEY §7 contract).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aidc_2018_timeseries_spark.plans.catalog import register
 from aidc_2018_timeseries_spark.sources.tables import load_table
@@ -129,3 +130,38 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return sessionize_stream(ev, gap="30 minutes")
+
+
+@register(
+    "events_rollup_daily_from_hourly",
+    """
+    WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_id, event_type, value
+               FROM events)
+    SELECT day_id, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM e GROUP BY day_id, event_type
+    """,
+    doc="hierarchical rollup reuse (the 'hypertable continuous aggregate' "
+    "pattern): Spark aggregates raw events to HOURLY partials, then "
+    "derives the DAILY rollup by re-aggregating those partials — the "
+    "oracle computes daily straight from raw rows, so the check proves "
+    "the partial-aggregate merge is lossless. At 100 TB the hourly table "
+    "is what you materialize; every coarser rollup (day/week/month) is "
+    "derived from it at partials cost, never re-scanning raw data",
+)
+def events_rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("(ts div 1000) div 3600000000").alias("hour_id"),
+        "event_type",
+        "value",
+    )
+    hourly = ev.groupBy("hour_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
+    return (
+        hourly.withColumn("day_id", F.expr("hour_id div 24"))
+        .groupBy("day_id", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        )
+    )
