@@ -1212,3 +1212,53 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "setop_intersect_click_error_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    doc="INTERSECT DISTINCT (completes the set-op family with EXCEPT and "
+    "UNION): users with both click and error events; plans as an "
+    "aggregate + semi join, one shuffle on the key",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    return clicks.intersect(errors)
+
+
+@register(
+    "window_rank_distributions",
+    """
+    WITH per_user AS (
+      SELECT user_id, CAST(ROUND(ROUND(SUM(value), 2) * 100) AS BIGINT) AS total_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, total_cents,
+           ROUND(PERCENT_RANK() OVER (ORDER BY total_cents, user_id), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY total_cents, user_id), 6) AS cume
+    FROM per_user
+    """,
+    doc="PERCENT_RANK + CUME_DIST over per-user totals (exact integer "
+    "cents so the rank key is bit-identical cross-engine). The global "
+    "window runs over the small AGGREGATED set (one row per user), not "
+    "raw events — the acceptable single-partition pattern for "
+    "bookkeeping-sized inputs; at raw-event scale you'd bucket first",
+)
+def window_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.round(F.sum("value"), 2) * 100).cast("long").alias("total_cents")
+    )
+    w = Window.orderBy("total_cents", "user_id")
+    return per_user.select(
+        "user_id",
+        "total_cents",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
