@@ -1262,3 +1262,30 @@ def window_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# --- SQL-text entry path: the IDENTICAL ANSI string runs on both engines ---
+_SQL_TEXT_SHARED = """
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+"""
+
+
+@register(
+    "sql_text_api",
+    _SQL_TEXT_SHARED,
+    doc="SQL-text entry path: the Spark side executes spark.sql() over "
+    "registered views with the LITERAL SAME ANSI string the DuckDB oracle "
+    "runs — proving a SQL-first user can hand this engine their query "
+    "text unchanged (Catalyst still does pushdown/pruning/partial agg on "
+    "the parsed plan, identically to the DataFrame API)",
+)
+def sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_SQL_TEXT_SHARED)
