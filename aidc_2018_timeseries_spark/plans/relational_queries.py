@@ -837,14 +837,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND o.o_orderdate < TIMESTAMP '1998-01-01'
     )
     SELECT o_year,
-           ROUND(ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END), 4)
-                 / ROUND(SUM(volume), 4), 6) AS mkt_share
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END), 4)
+             / ROUND(SUM(volume), 4) AS mkt_share
     FROM all_sales GROUP BY o_year
     """,
     doc="TPC-H Q8 shape: NATION_2's share of ASIA-customer STANDARD-part "
     "revenue per order year. Numerator and denominator are rounded to the "
     "exact 1e-4 lattice before the (deterministic IEEE) division so the "
-    "6dp share is bit-identical across engines",
+    "share is bit-identical across engines without any outer rounding",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
@@ -879,9 +879,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(vol), 4).alias("den"),
         )
     )
-    return agg.select(
-        "o_year", F.round(F.col("num") / F.col("den"), 6).alias("mkt_share")
-    )
+    # Unrounded on purpose: num and den are exact 1e-4-lattice values, so
+    # the single IEEE division is bit-deterministic — an outer ROUND can
+    # only break parity when the ratio lands on a rounding boundary.
+    return agg.select("o_year", (F.col("num") / F.col("den")).alias("mkt_share"))
 
 
 # --- TPC-H Q9 shape: product-line profit by nation and year ---

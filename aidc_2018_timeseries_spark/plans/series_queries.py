@@ -202,14 +202,19 @@ def w13_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a1_per_key_max_scale",
     """
     SELECT user_id, event_id,
-           ROUND(value / MAX(value) OVER (PARTITION BY user_id), 6) AS value_scaled
+           value / MAX(value) OVER (PARTITION BY user_id) AS value_scaled
     FROM events
     """,
-    doc="A1 column / per-series max",
+    doc="A1 column / per-series max. UNROUNDED on purpose: both engines "
+    "divide the same parquet doubles by the same per-key max, and one "
+    "IEEE division is bit-deterministic — while ROUND(x, 6) broke parity "
+    "when a ratio landed exactly on a rounding boundary (0.5146875 at "
+    "sf0.1: Spark rounds the shortest-decimal repr, DuckDB the binary "
+    "value). Rounding is for ORDER-SENSITIVE accumulations only",
 )
 def a1_per_key_max_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = normalize.per_key_max_scale(_events(spark, sf_dir), KEY, [VAL], suffix="_scaled")
-    return df.select(KEY, "event_id", F.round(F.col("value_scaled"), 6).alias("value_scaled"))
+    return df.select(KEY, "event_id", F.col("value_scaled"))
 
 
 # --- A2: trailing-window z-score (reference turbofan.py:225-247) ---
