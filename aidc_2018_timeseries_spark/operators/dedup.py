@@ -247,11 +247,12 @@ def ngram_jaccard_pairs(
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
+        # Unrounded: intersection/union of exact integers is a single
+        # bit-deterministic IEEE division on both engines; rounding can
+        # only break parity (ties when the ratio terminates at 7 digits).
         .withColumn(
             "jaccard",
-            F.round(
-                n_common / (F.size("sh_a") + F.size("sh_b") - n_common), 6
-            ),
+            n_common / (F.size("sh_a") + F.size("sh_b") - n_common),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

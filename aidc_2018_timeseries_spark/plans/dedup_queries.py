@@ -111,11 +111,15 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
       GROUP BY 1, 2, 3, 4)
     SELECT id_a, id_b,
-           ROUND(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+           CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) AS jaccard
     FROM inter
-    WHERE ROUND(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) >= 0.8
+    WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.8
     """,
-    doc="exact 3-gram Jaccard ≥ 0.8 via inverted-index self-join",
+    doc="exact 3-gram Jaccard ≥ 0.8 via inverted-index self-join. The "
+    "ratio is UNROUNDED: intersection/union of exact integers is one "
+    "bit-deterministic IEEE division, while ROUND(x, 6) breaks parity "
+    "whenever a ratio terminates exactly on the boundary (i/128 has a "
+    "7-digit decimal ending in 5)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
