@@ -1290,3 +1290,41 @@ def sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_SQL_TEXT_SHARED)
+
+
+@register(
+    "join_full_outer_activity",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
+               WHERE event_type = 'click' GROUP BY user_id),
+         e AS (SELECT user_id, COUNT(*) AS n_errors FROM events
+               WHERE event_type = 'error' GROUP BY user_id)
+    SELECT COALESCE(c.user_id, e.user_id) AS user_id,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(e.n_errors, 0) AS n_errors
+    FROM c FULL OUTER JOIN e ON c.user_id = e.user_id
+    """,
+    doc="FULL OUTER join (completes the join family: inner / left / semi "
+    "/ anti / as-of / range / salted): reconcile per-user click and error "
+    "counts, keeping users present on either side only, with COALESCE "
+    "null repair — one shuffle on the key",
+)
+def join_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .withColumnRenamed("user_id", "c_uid")
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .withColumnRenamed("user_id", "e_uid")
+    )
+    return c.join(e, c.c_uid == e.e_uid, "full_outer").select(
+        F.coalesce("c_uid", "e_uid").alias("user_id"),
+        F.coalesce("n_clicks", F.lit(0).cast("long")).alias("n_clicks"),
+        F.coalesce("n_errors", F.lit(0).cast("long")).alias("n_errors"),
+    )
