@@ -76,3 +76,33 @@ def test_schema_evolution_merge_read(spark, tmp_path):
         back.select("event_id", "value").explain("formatted")
     plan = buf.getvalue()
     assert "value_sq" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Dynamic partition pruning: joining a partitioned fact table against
+    a FILTERED dim must prune fact partitions at runtime using the dim's
+    join keys — at 100 TB this is the difference between scanning one
+    event_type directory and scanning the table. Asserted at plan level:
+    the fact scan's partition filters carry a dynamicpruning subquery."""
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "event_type", "value")
+    p = str(tmp_path / "events_part")
+    ev.write.partitionBy("event_type").parquet(p)
+
+    fact = spark.read.parquet(p)
+    dim = spark.createDataFrame(
+        [("error", 1), ("click", 2)], ["event_type", "weight"]
+    ).filter(F.col("weight") == 1)
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result is right: only 'error' rows survive
+    rows = {r["event_type"]: r["count"] for r in joined.collect()}
+    assert set(rows) == {"error"}
+    assert rows["error"] == ev.filter(F.col("event_type") == "error").count()
