@@ -1328,3 +1328,183 @@ def join_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_clicks", F.lit(0).cast("long")).alias("n_clicks"),
         F.coalesce("n_errors", F.lit(0).cast("long")).alias("n_errors"),
     )
+
+
+# --- TPC-H Q2 shape: correlated-min subquery over a derived part-supplier
+# relation (testdata has no partsupp; the observed minimum line price per
+# (part, supplier) stands in for ps_supplycost) ---
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT ps.partkey, ps.cost_cents, s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON ps.suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+           e.cost_cents AS supplycost_cents
+    FROM eu e JOIN part p ON e.partkey = p.p_partkey
+    WHERE p.p_type LIKE '%STANDARD%' AND p.p_size <= 10
+      AND e.cost_cents = (SELECT MIN(e2.cost_cents) FROM eu e2
+                          WHERE e2.partkey = e.partkey)
+    """,
+    doc="TPC-H Q2 shape (reference has no relational layer; completes the "
+    "22-query suite with q1-q22): cheapest in-region supplier per part. "
+    "Cost lives in the exact integer-cents domain (ROUND before CAST -- "
+    "Spark truncates, DuckDB rounds). The oracle keeps the literal "
+    "correlated MIN subquery; Spark decorrelates it into a min-over-"
+    "partkey window on the already-aggregated (part, supplier) relation, "
+    "so the only wide exchanges are the groupBy and one window on the "
+    "same key -- dims broadcast, the fact never shuffles twice",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(cents).alias("cost_cents"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu = ps.join(F.broadcast(dims), ps.suppkey == F.col("s_suppkey"))
+    w = Window.partitionBy("partkey")
+    best = eu.withColumn("min_cost", F.min("cost_cents").over(w)).filter(
+        F.col("cost_cents") == F.col("min_cost")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_type").like("%STANDARD%") & (F.col("p_size") <= 10)
+    )
+    return best.join(F.broadcast(p), best.partkey == p.p_partkey).select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        "p_partkey",
+        "p_name",
+        F.col("cost_cents").alias("supplycost_cents"),
+    )
+
+
+# --- TPC-H Q11 shape: group aggregate + HAVING against a global scalar ---
+@register(
+    "q11_important_part_values",
+    """
+    WITH v AS (
+      SELECT l.l_partkey AS p_partkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_9'
+      GROUP BY 1
+    )
+    SELECT p_partkey, value_cents FROM v
+    WHERE value_cents * (SELECT COUNT(*) FROM v)
+            > 2 * (SELECT CAST(SUM(value_cents) AS BIGINT) FROM v)
+    """,
+    doc="TPC-H Q11 shape (lineitem value from NATION_9 suppliers stands in "
+    "for partsupp stock value): parts carrying more than twice the MEAN "
+    "part value -- TPC-H's fixed 1/1000-of-total fraction empties at "
+    "larger scale factors as value spreads over more parts, so the "
+    "threshold is restated scale-free. It compares exact integer cents "
+    "(value*n > 2*total) -- no float fraction, bit-identical across "
+    "engines. Spark computes the global total as a whole-partition window "
+    "over the ALREADY-AGGREGATED per-part relation (bounded by distinct "
+    "parts, not fact rows) instead of re-scanning lineitem for a scalar "
+    "subquery -- Spark has no DataFrame-level CSE, so the oracle's literal "
+    "form would scan the fact twice",
+)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    dims = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    v = (
+        li.join(F.broadcast(dims), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    w = Window.partitionBy()
+    return (
+        v.withColumn("total_cents", F.sum("value_cents").over(w))
+        .withColumn("n_parts", F.count(F.lit(1)).over(w))
+        .filter(F.col("value_cents") * F.col("n_parts") > 2 * F.col("total_cents"))
+        .select("p_partkey", "value_cents")
+    )
+
+
+# --- TPC-H Q20 shape: chained semi-joins with a correlated threshold ---
+@register(
+    "q20_excess_inventory_suppliers",
+    """
+    WITH pair AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             CAST(ROUND(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                                 THEN l_quantity ELSE 0 END)) AS BIGINT)
+               AS qty_1996,
+             CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS qty_total
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name LIKE 'NATION_1%'
+      AND s.s_suppkey IN (
+        SELECT suppkey FROM pair
+        WHERE partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'small%')
+          AND qty_1996 * 4 > qty_total
+      )
+    """,
+    doc="TPC-H Q20 shape ('shipped >1/4 of this part-supplier pair's "
+    "lifetime quantity during 1996' stands in for availqty > half a "
+    "year's demand): suppliers in the NATION_1* group with a "
+    "concentrated 'small%' part. Quantities are integer-valued doubles, "
+    "so sums are exact and the 1/4 threshold is the integer comparison "
+    "qty*4 > total. Spark chains LEFT SEMI joins (part filter -> pair "
+    "filter -> supplier) -- each semi join keeps only the key, nothing "
+    "fans out, and the part dim broadcasts",
+)
+def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    in_1996 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    pair = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.round(F.sum(F.when(in_1996, F.col("l_quantity")).otherwise(0.0)))
+        .cast("long")
+        .alias("qty_1996"),
+        F.round(F.sum("l_quantity")).cast("long").alias("qty_total"),
+    )
+    small = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    hot = (
+        pair.join(F.broadcast(small), pair.partkey == F.col("p_partkey"), "left_semi")
+        .filter(F.col("qty_1996") * 4 > F.col("qty_total"))
+        .select("suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").like("NATION_1%"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(hot, s.s_suppkey == hot.suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
