@@ -206,3 +206,125 @@ def text_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.subword_count("text").cast("long").alias("n_subwords"),
         tx.token_count("text").cast("long").alias("n_words"),
     )
+
+
+# --- repetition signals (Gopher-style quality filters) ---
+@register(
+    "text_repetition_signals",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    wc AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+      GROUP BY doc_id, w
+    ),
+    ws AS (
+      SELECT doc_id, MAX(c) AS top_word_count,
+             CAST(SUM(c) AS BIGINT) AS n_words
+      FROM wc GROUP BY doc_id
+    ),
+    bc AS (
+      SELECT doc_id, b, COUNT(*) AS c
+      FROM (SELECT t.doc_id, t.toks[s.i] || ' ' || t.toks[s.i + 1] AS b
+            FROM t, UNNEST(generate_series(1, len(t.toks) - 1)) AS s(i)
+            WHERE len(t.toks) >= 2)
+      GROUP BY doc_id, b
+    ),
+    bs AS (
+      SELECT doc_id, MAX(c) AS top_bigram_count,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM bc GROUP BY doc_id
+    )
+    SELECT ws.doc_id,
+           ws.n_words,
+           CAST(ws.top_word_count AS DOUBLE) / ws.n_words AS top_word_frac,
+           CAST(bs.top_bigram_count AS DOUBLE) / bs.n_bigrams AS top_bigram_frac
+    FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+    """,
+    doc="Gopher-style repetition quality signals: most-common-word and "
+    "most-common-bigram occupancy per document (the duplicate-LINE "
+    "fraction is degenerate on this corpus -- documents are single-line). "
+    "Fractions are exact-integer divisions, emitted UNROUNDED "
+    "(deterministic bits cross-engine). Spark shape: explode -> two-level "
+    "hash aggregate per signal, joined on doc_id -- the explode fan-out "
+    "partials map-side, nothing is quadratic, and the join keys are the "
+    "natural doc partitioning at 100 TB",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tx.tokenize("text").alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    ws = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_word_count"),
+            F.sum("c").alias("n_words"),
+        )
+    )
+    bs = (
+        base.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_bigram_count"),
+            F.sum("c").alias("n_bigrams"),
+        )
+    )
+    return ws.join(bs, "doc_id").select(
+        "doc_id",
+        "n_words",
+        (F.col("top_word_count") / F.col("n_words")).alias("top_word_frac"),
+        (F.col("top_bigram_count") / F.col("n_bigrams")).alias("top_bigram_frac"),
+    )
+
+
+# --- train/eval decontamination by exact n-gram overlap ---
+@register(
+    "text_decontaminate_ngrams",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT DISTINCT t.doc_id,
+             array_to_string(t.toks[s.i : s.i + 7], ' ') AS g
+      FROM t, UNNEST(generate_series(1, len(t.toks) - 7)) AS s(i)
+      WHERE len(t.toks) >= 8
+    ),
+    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0)
+    SELECT g.doc_id, COUNT(*) AS n_shared_ngrams
+    FROM g JOIN ev USING (g)
+    WHERE g.doc_id % 20 <> 0
+    GROUP BY g.doc_id
+    """,
+    doc="benchmark decontamination: training documents sharing >=1 exact "
+    "8-gram with the held-out set (doc_id % 20 = 0 stands in for the "
+    "benchmark suite). The eval n-gram set is DISTINCT + broadcast -- "
+    "eval suites stay small no matter how big the corpus, so at 100 TB "
+    "the train side streams map-side against a broadcast hash set and "
+    "the only shuffle is the per-doc count. n-grams join as exact "
+    "strings (no hash-collision parity risk; at petabyte scale you'd "
+    "xxhash them into the same shape)",
+)
+def text_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tx.tokenize("text").alias("toks"))
+    grams = F.when(
+        F.size("toks") >= 8,
+        F.expr(
+            "transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    ev = g.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    return (
+        g.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
