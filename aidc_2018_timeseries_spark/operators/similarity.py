@@ -351,3 +351,34 @@ def rp_lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", "sim")
     )
+
+
+def centroid_means(
+    vectors: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Element-wise mean vector per group: (group_col, centroid_vec).
+
+    The distributed shape is posexplode → groupBy(group, dim): the fan-out
+    partial-aggregates map-side (sum/count combine before the shuffle), the
+    shuffle key (group, dim) is uniform, and the result is bounded by
+    k × dim rows no matter the corpus size. Components are rounded so the
+    summation-order-sensitive float accumulation is reproducible (the
+    repo-wide ROUND-6 convention; see plans/catalog.py).
+    """
+    exploded = vectors.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    comp = exploded.groupBy(group_col, "dim").agg(
+        F.round(F.sum(F.col("val").cast("double")) / F.count(F.lit(1)), round_dp).alias(
+            "c"
+        )
+    )
+    return comp.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("centroid_vec")
+    )

@@ -68,3 +68,60 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings")
     return sim.rp_lsh_topk(v, _queries_df(v), n_tables=16, n_bits=5, k=_K)
+
+
+@register(
+    "kmeans_step_centroids",
+    """
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    comp AS (
+      SELECT label, s.i AS i, ROUND(SUM(e[s.i]) / COUNT(*), 6) AS c
+      FROM v, UNNEST(generate_series(1, len(e))) AS s(i)
+      GROUP BY label, s.i
+    ),
+    cent AS (SELECT label AS c_label, list(c ORDER BY i) AS ce
+             FROM comp GROUP BY label),
+    scored AS (
+      SELECT v.vec_id, v.label, c.c_label,
+             ROUND(list_dot_product(v.e, c.ce)
+                   / (SQRT(list_dot_product(v.e, v.e))
+                      * SQRT(list_dot_product(c.ce, c.ce))), 6) AS sim
+      FROM v CROSS JOIN cent c
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, c_label) AS rk
+      FROM scored)
+    SELECT vec_id, label, c_label AS assigned_label, sim FROM ranked
+    WHERE rk = 1
+    """,
+    doc="one k-means step over the embedding corpus: element-wise mean "
+    "centroid per current label (posexplode -> partial-aggregated "
+    "(label, dim) shuffle, output bounded by k x dim), then every vector "
+    "reassigned to its cosine-nearest centroid (centroids broadcast -- "
+    "k x dim stays tiny at any corpus size; the per-vector argmax is a "
+    "vec_id-partitioned window, never global). Centroid components round "
+    "at 6 dp (order-sensitive accumulation); the rounded arrays then "
+    "flow through the same in-order fold arithmetic as knn_brute_force, "
+    "so similarity bits match DuckDB's sequential list functions exactly",
+)
+def kmeans_step_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from aidc_2018_timeseries_spark.functions.vectors import cosine_similarity
+
+    v = load_table(spark, sf_dir, "embeddings")
+    cents = sim.centroid_means(v, group_col="label").select(
+        F.col("label").alias("c_label"), "centroid_vec"
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.round(cosine_similarity("embedding", "centroid_vec"), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("c_label"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("assigned_label"), "sim")
+    )

@@ -32,6 +32,11 @@ load_all()
 _NESTED_LOOP_OK = {
     "knn_brute_force",  # scale path: knn_ivf / knn_rp_lsh
     "knn_ivf",  # centroid assignment broadcasts the centroid set
+    # k-means assignment: the broadcast side is the k-centroid table
+    # (k × dim values — constant-size at any corpus scale); every vector
+    # must score against every centroid by definition, so the nested loop
+    # is the intended plan, not a missing equi-join key.
+    "kmeans_step_centroids",
     # Scalar-subquery shape: the broadcast side is the 1-row global-stats
     # aggregate (sum/count of balances) — a constant-size build side at any
     # data scale, exactly how engines plan uncorrelated scalar subqueries.
