@@ -106,3 +106,55 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     rows = {r["event_type"]: r["count"] for r in joined.collect()}
     assert set(rows) == {"error"}
     assert rows["error"] == ev.filter(F.col("event_type") == "error").count()
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Row-level runtime filtering (the unpartitioned sibling of dynamic
+    partition pruning): a selective dim-side filter must inject a bloom
+    filter that prunes fact rows AT THE SCAN before the join shuffle —
+    at 100 TB this is the difference between shuffling the whole fact
+    table and shuffling only rows whose key can possibly match. Local
+    data sits under the production size thresholds, so the test lowers
+    them; the assertion is about the optimizer capability, not sizing."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        # no broadcast (bloom filters target shuffle joins), no min scan size
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(F.col("o_orderstatus") == "F")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # the probe must sit on the fact (lineitem) side's filter condition
+        probe_lines = [l for l in plan.splitlines() if "might_contain" in l]
+        assert any("l_orderkey" in l for l in probe_lines), plan
+        # and the filtered plan still computes the right answer
+        expected = (
+            li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, expected.collect()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
