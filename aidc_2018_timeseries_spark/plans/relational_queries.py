@@ -1508,3 +1508,69 @@ def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         .join(hot, s.s_suppkey == hot.suppkey, "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+# --- window value-extraction family: FIRST/LAST/NTH_VALUE with IGNORE NULLS ---
+@register(
+    "window_first_last_ignore_nulls",
+    """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN event_type = 'purchase' THEN value END AS pval
+      FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             first_value(pval IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_purchase,
+             nth_value(pval, 2 IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_purchase,
+             last_value(pval IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_purchase,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               AS rn
+      FROM t
+    )
+    SELECT user_id, first_purchase, second_purchase, last_purchase
+    FROM w WHERE rn = 1
+    """,
+    doc="FIRST_VALUE / NTH_VALUE / LAST_VALUE with IGNORE NULLS (the "
+    "null-skipping window extraction surface): first, second and latest "
+    "purchase value per user in event-time order. Nulls are derived "
+    "deterministically (value is only meaningful on purchase events); "
+    "ordering runs in the µs domain with event_id tiebreak (ns-vs-µs "
+    "parquet parity). Values are raw parquet doubles -- no arithmetic, "
+    "exact cross-engine equality. One shuffle on user_id serves all "
+    "three extractions and the row_number",
+)
+def window_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pval"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        t.select(
+            "user_id",
+            F.first("pval", ignorenulls=True).over(w).alias("first_purchase"),
+            F.nth_value("pval", 2, ignoreNulls=True).over(w).alias("second_purchase"),
+            F.last("pval", ignorenulls=True).over(w).alias("last_purchase"),
+            F.row_number().over(wo).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
