@@ -1574,3 +1574,54 @@ def window_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --- null-safe equality join (<=> / IS NOT DISTINCT FROM) ---
+@register(
+    "join_null_safe_buckets",
+    """
+    WITH t AS (
+      SELECT event_type,
+             NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 0)
+               AS kb
+      FROM events
+    ),
+    dim AS (
+      SELECT event_type, kb, COUNT(*) AS n_events
+      FROM t GROUP BY event_type, kb
+    )
+    SELECT e.event_type, e.kb, dim.n_events, COUNT(*) AS n_matched
+    FROM t e
+    JOIN dim ON e.event_type = dim.event_type
+            AND e.kb IS NOT DISTINCT FROM dim.kb
+    GROUP BY e.event_type, e.kb, dim.n_events
+    """,
+    doc="null-safe equality join: events carry a NULLable derived bucket "
+    "(NULLIF(k % 7, 0)) and must still match their dimension row when "
+    "the bucket is NULL -- Spark's <=> (eqNullSafe) against DuckDB's "
+    "IS NOT DISTINCT FROM. A plain equi-join silently drops every "
+    "NULL-bucket row; the n_matched = n_events invariant proves none "
+    "were lost. Null-safe equality still plans as a HASH join (the key "
+    "is hashable with NULL as a value), so the scale shape is identical "
+    "to a normal equi-join shuffle",
+)
+def join_null_safe_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("long") % 7, F.lit(0)
+        ).alias("kb"),
+    )
+    dim = t.groupBy("event_type", "kb").agg(F.count(F.lit(1)).alias("n_events"))
+    e = t.alias("e")
+    d = dim.alias("d")
+    return (
+        e.join(
+            d,
+            (F.col("e.event_type") == F.col("d.event_type"))
+            & F.col("e.kb").eqNullSafe(F.col("d.kb")),
+        )
+        .groupBy(F.col("e.event_type").alias("event_type"), F.col("e.kb").alias("kb"), "n_events")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
