@@ -177,3 +177,55 @@ def join_salted_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
     )
+
+
+# --- Arrow cogrouped-map API (groupBy().cogroup().applyInPandas) ---
+def _norm_by_max_click(left, right):
+    """Per-user kernel: purchases normalized by the user's max click value.
+
+    Runs once per user with BOTH sides' rows as pandas frames. max() is
+    order-insensitive, and the normalization is a single IEEE division of
+    raw parquet doubles — bit-identical to the SQL oracle, so the face
+    stays hash-checkable even though it crosses into Python.
+    """
+    if len(left) == 0 or len(right) == 0:
+        return left.iloc[0:0][["event_id", "user_id"]].assign(norm_value=0.0)
+    m = right["value"].max()
+    out = left[["event_id", "user_id"]].copy()
+    out["norm_value"] = left["value"] / m
+    return out
+
+
+@register(
+    "cogroup_purchase_vs_click_norm",
+    """
+    WITH mx AS (
+      SELECT user_id, MAX(value) AS mclick
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value / mx.mclick AS norm_value
+    FROM events e JOIN mx USING (user_id)
+    WHERE e.event_type = 'purchase'
+    """,
+    doc="cogrouped-map API face (groupBy().cogroup().applyInPandas -- the "
+    "Arrow path for per-key logic that needs BOTH sides materialized, "
+    "e.g. custom alignment/model scoring): each user's purchases "
+    "normalized by their max click value. Both sides shuffle once on "
+    "user_id and pair per key; per-key state is bounded by one user's "
+    "events. The kernel is deterministic (order-insensitive max, single "
+    "IEEE division), so unlike typical Python crossings this one is "
+    "exact-oracle-checked against the equivalent join in DuckDB",
+)
+def cogroup_purchase_vs_click_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            _norm_by_max_click, "event_id long, user_id long, norm_value double"
+        )
+    )

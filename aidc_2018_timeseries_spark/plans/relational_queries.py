@@ -1625,3 +1625,42 @@ def join_null_safe_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("e.event_type").alias("event_type"), F.col("e.kb").alias("kb"), "n_events")
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )
+
+
+# --- RANK vs DENSE_RANK tie semantics ---
+@register(
+    "window_rank_dense_rank_ties",
+    """
+    WITH s AS (
+      SELECT l_suppkey, CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, total_qty,
+           RANK() OVER (ORDER BY total_qty DESC) AS rnk,
+           DENSE_RANK() OVER (ORDER BY total_qty DESC) AS drnk
+    FROM s
+    QUALIFY rnk <= 25
+    """,
+    doc="RANK vs DENSE_RANK around ties (completes the ranking family "
+    "next to row_number / percent_rank / cume_dist / ntile): suppliers "
+    "by total shipped quantity -- integer-valued sums, so ties are real "
+    "and exact on both engines. The global window runs over the "
+    "PRE-AGGREGATED per-supplier relation (bounded by supplier count), "
+    "never the fact table; Spark's top-25 cut is the same QUALIFY "
+    "predicate DuckDB applies",
+)
+def window_rank_dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.round(F.sum("l_quantity")).cast("long").alias("total_qty")
+    )
+    w = Window.orderBy(F.col("total_qty").desc())
+    return (
+        s.select(
+            "l_suppkey",
+            "total_qty",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 25)
+    )
