@@ -1664,3 +1664,86 @@ def window_rank_dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 25)
     )
+
+
+# --- data-quality audit: constraint violation counts ---
+@register(
+    "dq_audit_constraints",
+    """
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_price',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_extendedprice <= 0.0
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.5
+    UNION ALL
+    SELECT 'lineitem_ship_before_order',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate < o.o_orderdate
+    UNION ALL
+    SELECT 'events_null_user', CAST(COUNT(*) AS BIGINT)
+    FROM events WHERE user_id IS NULL
+    """,
+    doc="data-quality audit as one query: referential-integrity orphans "
+    "(LEFT ANTI joins), range checks, cross-table temporal sanity "
+    "(shipped-before-ordered via an orderkey join) and null checks, "
+    "emitted as (check_name, n_violations) rows. At 100 TB each check "
+    "is a scan-shaped aggregate or a single-key join -- no check fans "
+    "out, and Spark runs the unioned branches as independent stages. "
+    "Counts are exact BIGINTs; the testdata is clean on purpose for "
+    "most checks, and nonzero on the temporal one, so both outcomes "
+    "are exercised",
+)
+def dq_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "lineitem_orphan_orderkey",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        one(
+            "orders_orphan_custkey",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        ),
+        one(
+            "lineitem_nonpositive_price",
+            li.filter(F.col("l_extendedprice") <= 0.0),
+        ),
+        one(
+            "lineitem_discount_out_of_range",
+            li.filter((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.5)),
+        ),
+        one(
+            "lineitem_ship_before_order",
+            li.join(o, li.l_orderkey == o.o_orderkey).filter(
+                F.col("l_shipdate") < F.col("o_orderdate")
+            ),
+        ),
+        one("events_null_user", ev.filter(F.col("user_id").isNull())),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionAll(ch)
+    return out
