@@ -158,3 +158,29 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_write_sizing_max_records_per_file(spark, tmp_path):
+    """Small-file management: at 100 TB the writer must control output
+    file sizing (too many small files kill the downstream scan; too few
+    kill write parallelism). maxRecordsPerFile gives a hard per-file row
+    bound independent of partition count; coalesce(1) + the option still
+    splits into multiple files."""
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    n = ev.count()
+    p = str(tmp_path / "sized")
+    (
+        ev.coalesce(1)
+        .write.option("maxRecordsPerFile", 1000)
+        .parquet(p, mode="overwrite")
+    )
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    import math
+
+    assert len(files) >= math.ceil(n / 1000), (n, files)
+    back = spark.read.parquet(p)
+    assert back.count() == n
+    # every file respects the bound
+    for f in files:
+        cnt = spark.read.parquet(os.path.join(p, f)).count()
+        assert cnt <= 1000, (f, cnt)
