@@ -155,3 +155,18 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sxz", "sx", "sz", "sxx", "szz").alias("corr_qty_line"),
         corr("syz", "sy", "sz", "syy", "szz").alias("corr_size_line"),
     )
+
+
+@register(
+    "agg_approx_percentiles",
+    None,  # KLL-style sketch: engine-specific estimates can't hash-match
+    doc="approximate percentiles per event type (percentile_approx "
+    "sketch -- the mergeable, bounded-memory scale path next to the "
+    "exact interpolated face agg_value_percentiles; closeness to exact "
+    "pinned in tests/test_agg_sketches.py)",
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
+    )

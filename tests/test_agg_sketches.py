@@ -37,3 +37,32 @@ def test_percentile_approx_close_to_exact(spark):
     # percentile_approx with high accuracy parameter lands on an actual
     # data value adjacent to the interpolated exact result
     assert abs(r["approx"] - r["exact"]) <= max(0.05 * abs(r["exact"]), 0.5)
+
+
+def test_approx_percentiles_face_close_to_exact(spark):
+    """The catalog face's sketch percentiles must track the exact ones."""
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+    from tests.conftest import SF_DIR
+
+    load_all()
+    approx = {
+        r["event_type"]: r["approx_pcts"]
+        for r in CATALOG["agg_approx_percentiles"].spark_fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    # reference: the same order-statistic semantics at maximum accuracy
+    # (rank error 0) — comparing against the INTERPOLATED percentile would
+    # conflate sketch error with data-point-vs-interpolation distance,
+    # which dominates on sparse group tails
+    exact = {
+        r["event_type"]: r["ex"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 2147483647).alias("ex")
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et in approx:
+        for a, x in zip(approx[et], exact[et]):
+            assert abs(a - x) <= max(0.02 * abs(x), 0.5), (et, a, x)
