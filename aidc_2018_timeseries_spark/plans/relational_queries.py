@@ -1747,3 +1747,32 @@ def dq_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ch in checks[1:]:
         out = out.unionAll(ch)
     return out
+
+
+# --- LATERAL correlated subquery (shared SQL text on both engines) ---
+_LATERAL_SHARED = """
+    SELECT n.n_name, t.s_name, t.s_acctbal
+    FROM nation n, LATERAL (
+      SELECT s_name, s_acctbal FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name
+      LIMIT 2
+    ) t
+"""
+
+
+@register(
+    "lateral_topk_per_nation",
+    _LATERAL_SHARED,
+    doc="LATERAL correlated subquery with per-row ORDER BY + LIMIT (the "
+    "SQL-standard form of top-k-per-group): two richest suppliers per "
+    "nation, the LITERAL SAME ANSI string on both engines. Catalyst "
+    "decorrelates the lateral into a ranked window join -- same physical "
+    "shape as the DataFrame top-k face, proving the SQL surface and the "
+    "DataFrame surface meet in one plan",
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("nation", "supplier"))
+    return spark.sql(_LATERAL_SHARED)
