@@ -190,7 +190,7 @@ def _norm_by_max_click(left, right):
     """
     if len(left) == 0 or len(right) == 0:
         return left.iloc[0:0][["event_id", "user_id"]].assign(norm_value=0.0)
-    m = right["value"].max()
+    m = right["click_value"].max()
     out = left[["event_id", "user_id"]].copy()
     out["norm_value"] = left["value"] / m
     return out
@@ -221,7 +221,13 @@ def cogroup_purchase_vs_click_norm(spark: SparkSession, sf_dir: str) -> DataFram
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "value"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    # The rename is load-bearing, not cosmetic: both sides come from the
+    # same events scan, so an un-aliased `value` on the right shares the
+    # left's attribute ID and FlatMapCoGroupsInPandas' attribute
+    # de-duplication silently drops it from the right-side Arrow batch.
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("value").alias("click_value")
+    )
     return (
         purchases.groupBy("user_id")
         .cogroup(clicks.groupBy("user_id"))

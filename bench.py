@@ -45,6 +45,8 @@ HEADLINE = [
     "resample_ffill_6h",
     "text_tfidf_top_terms",
     "q10_returned_items",
+    "text_decontaminate_ngrams",
+    "kmeans_step_centroids",
 ]
 
 
