@@ -27,6 +27,85 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def resample_linear_interp(
+    df: DataFrame,
+    key_col: str,
+    ts_ns_col: str,
+    value_col: str,
+    bucket_us: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-key fixed-grid resample with LINEAR interpolation between the
+    surrounding observed buckets (the hypertable ``time_bucket_gapfill``
+    + ``interpolate()`` pattern; forward-fill's sibling for continuous
+    signals).
+
+    Same grid construction as :func:`resample_ffill`; a gap bucket gets
+    ``prev + (next - prev) * (b - b_prev) / (b_next - b_prev)`` where
+    prev/next are the nearest observed buckets either side. By
+    construction the grid is bounded by each key's first/last OBSERVED
+    bucket, so both neighbours always exist. All terms are exact
+    integers or single IEEE double ops in a fixed order — bit-identical
+    cross-engine, emitted unrounded.
+
+    Scale shape: identical to resample_ffill plus one extra ordered
+    window pass per direction (still the same per-key partitioning; no
+    new shuffle — Catalyst reuses the (key, bucket) sort for all four
+    window extractions).
+    """
+    t_us = F.expr(f"{ts_ns_col} div 1000")
+    based = df.select(
+        F.col(key_col).alias("key"),
+        (t_us - (t_us % F.lit(bucket_us))).alias("bucket_start_us"),
+        t_us.alias("t_us"),
+        F.col(tiebreak_col).alias("tb"),
+        F.col(value_col).alias("v"),
+    )
+    pick = Window.partitionBy("key", "bucket_start_us").orderBy(
+        F.desc("t_us"), F.desc("tb")
+    )
+    last_per_bucket = (
+        based.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("key", "bucket_start_us", "v")
+    )
+    bounds = based.groupBy("key").agg(
+        F.min("bucket_start_us").alias("b0"), F.max("bucket_start_us").alias("b1")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("b0"), F.col("b1"), F.lit(bucket_us))
+        ).alias("bucket_start_us"),
+    )
+    joined = grid.join(last_per_bucket, ["key", "bucket_start_us"], "left")
+    back = Window.partitionBy("key").orderBy("bucket_start_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy("key").orderBy("bucket_start_us").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_b = F.when(F.col("v").isNotNull(), F.col("bucket_start_us"))
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    prev_b = F.last(obs_b, ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    next_b = F.first(obs_b, ignorenulls=True).over(fwd)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        prev_v
+        + (next_v - prev_v)
+        * (
+            (F.col("bucket_start_us") - prev_b).cast("double")
+            / (next_b - prev_b).cast("double")
+        )
+    )
+    return joined.select(
+        F.col("key").alias(key_col),
+        "bucket_start_us",
+        interp.alias("value"),
+        F.when(F.col("v").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("is_observed"),
+    )
+
+
 def resample_ffill(
     df: DataFrame,
     key_col: str,

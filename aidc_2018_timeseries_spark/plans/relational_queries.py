@@ -1659,8 +1659,10 @@ def window_rank_dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select(
             "l_suppkey",
             "total_qty",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            # BIGINT to match DuckDB's int64 rank output (the driver's
+            # value-hash is type-sensitive; Spark rank() is int32)
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
         )
         .filter(F.col("rnk") <= 25)
     )

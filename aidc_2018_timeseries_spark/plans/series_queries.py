@@ -521,6 +521,102 @@ def resample_ffill_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "resample_interp_6h",
+    f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, value FROM events),
+    b AS (SELECT user_id, t_us - (t_us % {_BUCKET_US}) AS bucket_start_us,
+                 t_us, event_id, value FROM e),
+    last AS (
+      SELECT user_id, bucket_start_us, value FROM (
+        SELECT user_id, bucket_start_us, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket_start_us
+                                  ORDER BY t_us DESC, event_id DESC) AS rn
+        FROM b) WHERE rn = 1),
+    bounds AS (SELECT user_id, MIN(bucket_start_us) AS b0, MAX(bucket_start_us) AS b1
+               FROM b GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(b0, b1, {_BUCKET_US})) AS bucket_start_us
+             FROM bounds),
+    j AS (SELECT user_id, bucket_start_us, value AS v
+          FROM grid LEFT JOIN last USING (user_id, bucket_start_us)),
+    x AS (
+      SELECT user_id, bucket_start_us, v,
+             last_value(v IGNORE NULLS) OVER wb AS prev_v,
+             last_value(CASE WHEN v IS NOT NULL THEN bucket_start_us END
+                        IGNORE NULLS) OVER wb AS prev_b,
+             first_value(v IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN v IS NOT NULL THEN bucket_start_us END
+                         IGNORE NULLS) OVER wf AS next_b
+      FROM j
+      WINDOW wb AS (PARTITION BY user_id ORDER BY bucket_start_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY bucket_start_us
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, bucket_start_us,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(bucket_start_us - prev_b AS DOUBLE)
+                        / CAST(next_b - prev_b AS DOUBLE)) END AS value,
+           CASE WHEN v IS NULL THEN 0 ELSE 1 END AS is_observed
+    FROM x
+    """,
+    doc="resample onto the 6h grid with LINEAR interpolation between the "
+    "surrounding observed buckets (the hypertable time_bucket_gapfill + "
+    "interpolate() pattern; resample_ffill_6h's sibling for continuous "
+    "signals). Grid bounds guarantee both neighbours exist; the gap "
+    "formula is exact-integer ratios through single IEEE ops in a fixed "
+    "order, so values are bit-identical cross-engine UNROUNDED. Same "
+    "scale shape as ffill — all four neighbour extractions share one "
+    "per-key sort, no extra shuffle",
+)
+def resample_interp_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample.resample_linear_interp(
+        _events(spark, sf_dir), KEY, "ts", VAL, _BUCKET_US, "event_id"
+    )
+
+
+# --- SCD2 change compaction (CDC → validity intervals; MERGE-INTO's batch face) ---
+@register(
+    "scd2_type_intervals",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
+    m AS (
+      SELECT user_id, t_us, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+    r AS (
+      SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      FROM m),
+    iv AS (
+      SELECT user_id, run_id, MIN(event_type) AS attr,
+             MIN(t_us) AS valid_from, COUNT(*) AS n_obs
+      FROM r GROUP BY user_id, run_id)
+    SELECT user_id, run_id, attr, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+           n_obs
+    FROM iv
+    """,
+    doc="SCD2 / CDC change compaction (the batch face of MERGE INTO, absent "
+    "in the reference — SURVEY §2.7 has no mutable state): each user's "
+    "event_type run becomes one validity interval (valid_from inclusive, "
+    "valid_to = next run's start, NULL = current). One keyed shuffle "
+    "serves the lag, the cumulative run-id, the run collapse and the "
+    "lead — no self-join, no global sort; per-key state is that key's "
+    "own history, the 100 TB dimension-build shape",
+)
+def scd2_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators import scd
+
+    ev = _events(spark, sf_dir).select(
+        KEY, F.expr("ts div 1000").alias("t_us"), "event_id", "event_type"
+    )
+    return scd.scd2_compact(ev, KEY, "t_us", "event_type", "event_id")
+
+
 # --- P6: NaN guard as a countable data-quality operator ---
 @register(
     "p6_nan_guard_counts",
