@@ -170,3 +170,105 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
     )
+
+
+@register(
+    "agg_mode_value_bucket",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(CASE WHEN value < 0.0 THEN 0
+                       WHEN value >= 100.0 THEN 11
+                       ELSE CAST(FLOOR(value / 10.0) AS INT) + 1 END
+                  AS BIGINT) AS bucket
+      FROM events),
+    c AS (SELECT event_type, bucket, COUNT(*) AS n
+          FROM b GROUP BY event_type, bucket)
+    SELECT event_type, bucket AS mode_bucket, n FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY n DESC, bucket ASC) AS rn
+      FROM c) WHERE rn = 1
+    """,
+    doc="MODE / argmax aggregate with a pinned tie order (SQL's MODE() "
+    "leaves ties unspecified — unusable under a value-hash gate; this "
+    "restates it as count + row_number with (n desc, bucket asc)): the "
+    "most frequent value bucket per event type. Scale shape: one "
+    "(type, bucket) partial-agg shuffle, then the argmax window runs "
+    "over the AGGREGATED relation (bounded by types × 12 buckets, never "
+    "raw events)",
+)
+def agg_mode_value_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.expr("width_bucket(value, 0.0D, 100.0D, 10)"), F.lit(0)),
+        F.lit(11),
+    ).alias("bucket")
+    counts = (
+        ev.select("event_type", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("bucket"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("bucket").alias("mode_bucket"), "n")
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT
+      COUNT(*) AS n_users,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+               THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click
+               THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+    FROM f
+    """,
+    doc="funnel / ordered-sequence analysis (the product-analytics face of "
+    "the windowing family): per user, first-view → first-click → "
+    "first-purchase must occur in strictly increasing event time; emits "
+    "per-step converted-user counts. One groupBy(user) with conditional "
+    "MIN aggregates (map-side combinable), then a 4-number global reduce "
+    "— no window, no join, no per-user state beyond three timestamps. "
+    "NULL comparisons propagate to false identically in both engines; "
+    "times run in the µs domain",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("t_us")
+    )
+
+    def first_t(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("t_us")))
+
+    f = ev.groupBy("user_id").agg(
+        first_t("view").alias("t_view"),
+        first_t("click").alias("t_click"),
+        first_t("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
+
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(viewed).alias("step_view"),
+        cnt(clicked).alias("step_click"),
+        cnt(purchased).alias("step_purchase"),
+    )
