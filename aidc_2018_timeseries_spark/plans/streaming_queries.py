@@ -165,3 +165,35 @@ def events_rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.sum("sum_value"), 4).alias("sum_value"),
         )
     )
+
+
+@register(
+    "tws_record_breaking",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, value FROM events),
+    m AS (
+      SELECT user_id, event_id, t_us, value,
+             MAX(value) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM e)
+    SELECT user_id, event_id, t_us, value, prev_max
+    FROM m WHERE prev_max IS NULL OR value > prev_max
+    """,
+    doc="record-breaking events per user (value strictly above the key's "
+    "running max; first event always a record) — the ORACLE-CHECKED batch "
+    "face of the transformWithStateInPandas streaming operator "
+    "(streaming/records.py: Spark 4's arbitrary-stateful API, one "
+    "ValueState holding the running max = 8 bytes/key). Batch form is a "
+    "strict-prefix window max — one keyed shuffle, no Python; "
+    "tests/test_tws_records.py proves the chunked stream replay equals "
+    "this plan. Raw parquet doubles compared, no arithmetic — exact "
+    "cross-engine",
+)
+def tws_record_breaking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.streaming.records import record_breaking_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts"), "value"
+    )
+    return record_breaking_batch(ev).withColumnRenamed("ts", "t_us")
