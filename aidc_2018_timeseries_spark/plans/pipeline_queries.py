@@ -89,6 +89,31 @@ def s5_adding_problem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("sample_id", "pos1", "pos2", "label")
 
 
+@register(
+    "pyds_adding_problem",
+    _adding_oracle(),
+    doc="the adding-problem generator as a CUSTOM PYTHON DATA SOURCE "
+    "(Spark 4 pyspark.sql.datasource API, sources/pydatasource.py): "
+    "spark.read.format('adding_problem_py') with partition-parallel "
+    "generation (partitions() splits the sample range; each worker "
+    "produces its slice independently). Same md5-derived deterministic "
+    "scheme as s5_adding_problem, so the SAME DuckDB oracle hash-checks "
+    "a source implemented in Python — the scan-layer extension path for "
+    "formats Spark lacks natively",
+)
+def pyds_adding_problem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    return (
+        spark.read.format("adding_problem_py")
+        .option("n", "1000")
+        .option("seq_len", "50")
+        .option("numPartitions", "8")
+        .load()
+    )
+
+
 # --- W14: autoregressive generation (non-SQL — rows-only check) ---
 @register(
     "w14_autoregressive_generation",
