@@ -272,3 +272,32 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(clicked).alias("step_click"),
         cnt(purchased).alias("step_purchase"),
     )
+
+
+@register(
+    "agg_hll_sketch_rollup",
+    None,  # Datasketches HLL estimates are engine-specific — rows-only;
+    # the merge-lossless property and the error bound are pinned in
+    # tests/test_agg_sketches.py
+    doc="MERGEABLE-sketch rollup (the sketch analogue of "
+    "events_rollup_daily_from_hourly): per-(type, 6h-bucket) HLL sketches "
+    "built in one scan, then the PER-TYPE distinct-user estimate derived "
+    "by hll_union_agg over the stored bucket sketches — never re-scanning "
+    "raw events. At 100 TB you materialize the fine-grained sketch table "
+    "(KB per bucket, any cardinality) and answer every coarser "
+    "distinct-count rollup from sketch unions at partials cost; exact "
+    "distincts would need a full re-shuffle of raw rows per granularity",
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr("(ts div 1000) div 21600000000").alias("b6h")
+    hourly = ev.select("event_type", bucket, "user_id").groupBy(
+        "event_type", "b6h"
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )

@@ -66,3 +66,33 @@ def test_approx_percentiles_face_close_to_exact(spark):
     for et in approx:
         for a, x in zip(approx[et], exact[et]):
             assert abs(a - x) <= max(0.02 * abs(x), 0.5), (et, a, x)
+
+
+def test_hll_rollup_merge_lossless_and_bounded(spark):
+    """The rollup face's union-of-bucket-sketches must (a) equal the
+    estimate of one directly-built per-type sketch — HLL union is lossless
+    at equal lgConfigK — and (b) track the exact distinct count."""
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+
+    load_all()
+    via_rollup = {
+        r["event_type"]: r["approx_users"]
+        for r in CATALOG["agg_hll_sketch_rollup"].spark_fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    direct = {
+        r["event_type"]: (r["direct"], r["exact"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("direct"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    }
+    assert set(via_rollup) == set(direct)
+    for t, est in via_rollup.items():
+        d, exact = direct[t]
+        assert est == d, (t, est, d)  # merge must be lossless
+        assert abs(est - exact) / max(exact, 1) <= 0.10, (t, est, exact)
