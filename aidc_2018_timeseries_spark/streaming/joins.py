@@ -64,3 +64,30 @@ def interval_join_streams(
             F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts"))
         ).alias("gap_us"),
     )
+
+
+def enrich_stream_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static enrichment join (the dimension-lookup pattern).
+
+    The static side needs no watermark — Spark re-resolves it every
+    micro-batch and plans a broadcast hash join when the dim is small,
+    so each batch is enriched map-side with zero streaming state. This
+    completes the streaming join family next to the stream-stream
+    interval join above: stream-static is stateless (dim broadcast),
+    stream-stream is stateful (watermark-bounded buffers).
+
+    LEFT join: stream rows survive a missing dimension row (nulls), the
+    semantics a pipeline wants when the dim lags the stream.
+    """
+    d = dim.select(
+        F.col(dim_key).alias("__dk"), *[F.col(c) for c in dim_cols]
+    )
+    return stream.join(
+        F.broadcast(d), stream.__getattr__(stream_key) == F.col("__dk"), "left"
+    ).drop("__dk")

@@ -114,3 +114,50 @@ def test_interval_join_stream_matches_batch(spark, stream_dir):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM interval_join").collect()))
     assert got == golden
+
+
+def test_stream_static_enrich_matches_batch(spark, stream_dir):
+    """Stream-static dimension enrichment: each micro-batch broadcast-joins
+    the static nation-sized dim with zero streaming state; the result must
+    equal the same left join in batch. The dim is derived per-user so some
+    stream rows have no match (left-join nulls exercised)."""
+    from pyspark.sql import functions as F
+
+    from aidc_2018_timeseries_spark.streaming.joins import enrich_stream_with_static
+
+    static = load_table(spark, SF_DIR, "events")
+    # per-user "dimension": tier by user id, only for 2/3 of users so the
+    # left join's null path is real
+    dim = (
+        static.select("user_id").distinct()
+        .filter(F.col("user_id") % 3 != 0)
+        .withColumn("tier", (F.col("user_id") % 5).cast("long"))
+    )
+    cols = ["user_id", "event_id", "value"]
+    golden = sorted(
+        map(
+            tuple,
+            enrich_stream_with_static(
+                static.select(*cols), dim, "user_id", "user_id", ["tier"]
+            ).collect(),
+        )
+    )
+    assert any(r[-1] is None for r in golden), "null path must be exercised"
+    assert any(r[-1] is not None for r in golden)
+
+    stream = (
+        spark.readStream.schema(static.drop("ts_utc").schema)
+        .parquet(stream_dir)
+        .select(*cols)
+    )
+    q = (
+        enrich_stream_with_static(stream, dim, "user_id", "user_id", ["tier"])
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM enriched").collect()))
+    assert got == golden
