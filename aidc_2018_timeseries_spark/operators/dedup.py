@@ -196,9 +196,11 @@ def ngram_jaccard_pairs(
     filter (min ≥ t·max) prunes further; survivors are verified exactly,
     JVM-side, with array_intersect on the full (distinct) shingle arrays.
 
-    Plan: one df-frequency aggregate + one window rank (shuffles on
-    shingle / doc), a candidate join on short prefix postings, and a
-    verify join keyed by doc id. Returns (id_a, id_b, jaccard ≥ t).
+    Plan: document frequency as COUNT OVER (PARTITION BY shingle) — one
+    shuffle of the exploded relation, replacing the aggregate+join-back
+    form that shuffled it twice — then one window rank on doc, a
+    candidate join on short prefix postings, and a verify join keyed by
+    doc id. Returns (id_a, id_b, jaccard ≥ t).
     """
     # Repartition BEFORE the md5 shingle computation: a small-file corpus
     # otherwise arrives as one scan task and hashes serially.
@@ -207,7 +209,7 @@ def ngram_jaccard_pairs(
     )
     sh = hashed.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
 
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdf = Window.partitionBy("shingle")
     w = Window.partitionBy("doc").orderBy("df", "shingle")
     # prefix length n - ceil(t·n) + 1, with an epsilon so double rounding
     # of t (0.8 is 0.80000000000000004 in binary) never shortens the
@@ -218,7 +220,7 @@ def ngram_jaccard_pairs(
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(eps)) + 1
     ).cast("int")
     pref = (
-        sh.join(dfreq, "shingle")
+        sh.withColumn("df", F.count(F.lit(1)).over(wdf))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= prefix_len)
         .select("doc", "n_sh", "shingle")
