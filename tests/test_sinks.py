@@ -184,3 +184,26 @@ def test_write_sizing_max_records_per_file(spark, tmp_path):
     for f in files:
         cnt = spark.read.parquet(os.path.join(p, f)).count()
         assert cnt <= 1000, (f, cnt)
+
+
+def test_observe_quality_rides_the_main_action(spark):
+    """Observation metrics must match a separately-computed audit while the
+    observed plan executes only once (its own action)."""
+    from pyspark.sql import functions as F
+
+    from aidc_2018_timeseries_spark.operators.observe import observe_quality
+    from aidc_2018_timeseries_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "value")
+    instrumented, obs = observe_quality(ev, "value")
+    # the pipeline's own action — metrics piggyback on this execution
+    n_out = instrumented.filter(F.col("value") > 50).count()
+    m = obs.get
+    assert m["n_rows"] == ev.count()
+    assert m["n_null"] == ev.filter(F.col("value").isNull()).count()
+    assert m["n_nan"] == 0
+    assert m["n_negative"] == ev.filter(F.col("value") < 0).count()
+    exact = ev.agg(F.min("value"), F.max("value")).first()
+    assert (m["v_min"], m["v_max"]) == tuple(exact)
+    assert 0 < n_out < m["n_rows"]
