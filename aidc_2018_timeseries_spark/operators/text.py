@@ -183,3 +183,77 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
         .where(F.col("rk") <= k)
         .select(id_col, "term", "tfidf", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def chunk_tokens(
+    text: Column | str, chunk_size: int, stride: int
+) -> Column:
+    """Overlapping token chunks: array<struct<chunk_id, n_tokens, chunk>>.
+
+    The text analogue of the W1/W2 sliding windows (context-window
+    chunking for LLM training): chunk c covers tokens
+    [1 + c*stride, ... + chunk_size); chunks start while
+    start <= n_tokens - chunk_size + 1, so full chunks only — except a
+    document shorter than chunk_size yields its whole text as chunk 0
+    (standard keep-short-docs behaviour).
+
+    Pure scan-local expression: chunking fans out rows proportionally to
+    output, no shuffle of its own.
+    """
+    toks = tokenize(text)
+    n = F.size(toks)
+    n_chunks = F.when(
+        n < chunk_size, F.lit(1)
+    ).otherwise(F.floor((n - chunk_size) / stride).cast("int") + 1)
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("long").alias("chunk_id"),
+            F.least(F.lit(chunk_size), n - c * stride).alias("n_tokens"),
+            F.array_join(
+                F.slice(toks, c * F.lit(stride) + 1, chunk_size), " "
+            ).alias("chunk"),
+        ),
+    )
+
+
+def remove_stopwords(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """struct<clean, n_kept, n_removed>: tokens minus the stopword list,
+    rejoined with single spaces (curation normalization pass)."""
+    stopwords = stopwords or LANG_STOPWORDS["en"]
+    toks = tokenize(text)
+    kept = F.filter(toks, lambda t: ~t.isin(*stopwords))
+    return F.struct(
+        F.array_join(kept, " ").alias("clean"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def greedy_pack(
+    df, group_col: str, id_col: str, text_col: str, budget: int
+):
+    """Greedy sequence packing: assign docs (in id order within each
+    group) to consecutive packs of ~``budget`` tokens — the
+    sample-packing step of an LLM data pipeline, expressed as a running
+    token cumsum: pack_id = floor(tokens_before / budget). A pack can
+    overflow by at most one document (the standard streaming-packing
+    approximation; exact bin packing is NP-hard and order-destroying).
+
+    One shuffle on the group column; the cumsum window is per group, so
+    parallelism = #groups (shards/sources), the same unit real pipelines
+    pack within.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.select(group_col, id_col, n_tok.cast("long").alias("n_tokens"))
+        .withColumn("pack_id", F.floor(before / budget).cast("long"))
+    )

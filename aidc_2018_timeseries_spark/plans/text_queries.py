@@ -328,3 +328,97 @@ def text_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+# --- context-window chunking (the text analogue of W1/W2) ---
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) < 40 THEN 1
+                      ELSE CAST(FLOOR((len(toks) - 40) / 30.0) AS BIGINT) + 1
+                 END AS n_chunks
+          FROM t),
+    x AS (SELECT doc_id, toks, n,
+                 unnest(range(0, n_chunks)) AS chunk_id
+          FROM c)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(LEAST(40, n - chunk_id * 30) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, chunk_id * 30 + 1, chunk_id * 30 + 40), ' ')
+             AS chunk
+    FROM x
+    """,
+    doc="context-window chunking for LLM training (the text analogue of "
+    "the W1/W2 sliding windows): overlapping 40-token chunks at stride "
+    "30 per document; documents shorter than one chunk keep their whole "
+    "text as chunk 0. Scan-local explode — rows fan out proportional to "
+    "output, chunking itself needs no shuffle",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id", F.explode(tx.chunk_tokens("text", 40, 30)).alias("c")
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+        F.col("c.chunk").alias("chunk"),
+    )
+
+
+# --- stopword-removal normalization (curation rewrite pass) ---
+@register(
+    "text_normalize_stopwords",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    k AS (SELECT doc_id, toks,
+                 list_filter(toks, x -> NOT list_contains(
+                   ['the','a','of','and','to','in','is','it','that','was'], x))
+                   AS kept
+          FROM t)
+    SELECT doc_id,
+           array_to_string(kept, ' ') AS clean,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+    FROM k
+    """,
+    doc="stopword-removal normalization (the curation rewrite pass before "
+    "tokenizer training / dedup): tokens minus the en stopword list, "
+    "rejoined single-spaced, with kept/removed counts. Pure scan-shaped "
+    "rewriting — no shuffle at all",
+)
+def text_normalize_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.remove_stopwords("text").alias("s")).select(
+        "doc_id",
+        F.col("s.clean").alias("clean"),
+        F.col("s.n_kept").alias("n_kept"),
+        F.col("s.n_removed").alias("n_removed"),
+    )
+
+
+# --- greedy sequence packing (sample packing for fixed token budgets) ---
+@register(
+    "text_pack_greedy",
+    f"""
+    WITH t AS (SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+               FROM documents)
+    SELECT source, doc_id, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+                AS BIGINT) AS pack_id
+    FROM t
+    """,
+    doc="greedy sequence packing (the sample-packing step of an LLM "
+    "pipeline): docs assigned in id order within each source shard to "
+    "consecutive ~256-token packs via a running cumsum — pack_id = "
+    "floor(tokens_before / budget), overflow bounded by one document "
+    "(exact bin packing is NP-hard and order-destroying). One shuffle on "
+    "source; parallelism = #shards, the unit real pipelines pack within",
+)
+def text_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tx.greedy_pack(d, "source", "doc_id", "text", 256)
