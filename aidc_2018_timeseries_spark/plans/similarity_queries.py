@@ -125,3 +125,43 @@ def kmeans_step_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("vec_id", "label", F.col("c_label").alias("assigned_label"), "sim")
     )
+
+
+@register(
+    "embedding_l2_normalize",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v),
+    x AS (SELECT vec_id, nrm, unnest(e) AS comp,
+                 generate_subscripts(e, 1) AS i
+          FROM n)
+    SELECT vec_id, CAST(i AS INT) AS i,
+           ROUND(comp / nrm, 6) AS comp_n,
+           ROUND(nrm, 6) AS nrm
+    FROM x
+    """,
+    doc="embedding L2 normalization (the prep step that turns cosine "
+    "similarity into a plain dot product — ANN indexes want unit "
+    "vectors): per-vector norm via the same in-order fold as "
+    "knn_brute_force, each component divided by it, exploded to "
+    "(vec_id, i) granularity for value-hash checking. Scan-shaped: "
+    "norm and scaling are per-row expressions, the explode fans out "
+    "proportional to output, no shuffle",
+)
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.functions.vectors import l2_norm
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    n = v.withColumn("nrm", l2_norm("e"))
+    return n.select(
+        "vec_id",
+        F.posexplode("e").alias("i0", "comp"),
+        "nrm",
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).cast("int").alias("i"),
+        F.round(F.col("comp") / F.col("nrm"), 6).alias("comp_n"),
+        F.round("nrm", 6).alias("nrm"),
+    )
