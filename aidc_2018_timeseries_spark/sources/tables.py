@@ -43,12 +43,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; normalize the events timestamp column."""
     configure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts is raw nanoseconds-since-epoch; keep it (exact ordering, joins)
-        # and add a usable microsecond timestamp for time-window operators.
-        # integer 'div', NOT '/': double division loses ulps above 2^53,
-        # and epoch nanos (~1.7e18) are far past that.
-        df = df.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type in ("timestamp", "timestamp_ntz"):
+            # ts is a microsecond timestamp (current testdata schema).
+            # Normalize to the engine contract: `ts` = exact int64
+            # nanoseconds-since-epoch (ordering, joins, gap math — matches
+            # the DuckDB oracle's epoch_ns(ts) exactly since both are
+            # µs-precision ×1000), `ts_utc` = the timestamp itself. The
+            # ntz→ltz cast interprets the wall clock in the session zone,
+            # which configure_session pins to UTC — same convention DuckDB
+            # applies to naive timestamps.
+            micros = F.unix_micros(F.col("ts").cast("timestamp"))
+            df = df.withColumn("ts_utc", F.timestamp_micros(micros)).withColumn(
+                "ts", micros * F.lit(1000)
+            )
+        elif ts_type == "bigint":
+            # Legacy schema: raw nanoseconds-since-epoch (TIMESTAMP(NANOS)
+            # parquet read with nanosAsLong). Keep it and derive the
+            # timestamp. integer 'div', NOT '/': double division loses
+            # ulps above 2^53, and epoch nanos (~1.7e18) are far past that.
+            df = df.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
