@@ -202,6 +202,43 @@ def ngram_jaccard_pairs(
     candidate join on short prefix postings, and a verify join keyed by
     doc id. Returns (id_a, id_b, jaccard ≥ t).
     """
+    hashed, cand = ngram_jaccard_candidates(
+        df, id_col, text_col, shingle_n=shingle_n, threshold=threshold
+    )
+
+    a = hashed.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = hashed.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        # Unrounded: intersection/union of exact integers is a single
+        # bit-deterministic IEEE division on both engines; rounding can
+        # only break parity (ties when the ratio terminates at 7 digits).
+        .withColumn(
+            "jaccard",
+            n_common / (F.size("sh_a") + F.size("sh_b") - n_common),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """The prefix-filtered candidate stage of :func:`ngram_jaccard_pairs`,
+    exposed separately so the candidate-pair count — the real scale signal
+    for this operator (wall time tracks it, SCALING.md) — can be measured
+    without re-deriving the plan. Returns ``(hashed, candidates)`` where
+    ``hashed`` is (doc, sh: array<shingle-hash>) and ``candidates`` is the
+    distinct (id_a, id_b) surviving prefix + size filtering, BEFORE exact
+    verification.
+    """
     # Repartition BEFORE the md5 shingle computation: a small-file corpus
     # otherwise arrives as one scan task and hashes serially.
     hashed = _spread(df, id_col).select(
@@ -242,23 +279,7 @@ def ngram_jaccard_pairs(
         .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
         .distinct()
     )
-
-    a = hashed.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = hashed.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
-    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        # Unrounded: intersection/union of exact integers is a single
-        # bit-deterministic IEEE division on both engines; rounding can
-        # only break parity (ties when the ratio terminates at 7 digits).
-        .withColumn(
-            "jaccard",
-            n_common / (F.size("sh_a") + F.size("sh_b") - n_common),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return hashed, cand
 
 
 def simhash32(text: Column | str) -> Column:

@@ -56,4 +56,5 @@ def load_all() -> None:
         join_queries,
         streaming_queries,
         agg_queries,
+        cmapss_queries,
     )

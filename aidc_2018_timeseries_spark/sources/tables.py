@@ -64,6 +64,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # timestamp. integer 'div', NOT '/': double division loses
             # ulps above 2^53, and epoch nanos (~1.7e18) are far past that.
             df = df.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # Fail fast on schema drift: a silently mis-unit'd ts column
+            # poisons every downstream window/join (this exact rot broke the
+            # round-3 streaming test). New physical types must be handled
+            # here explicitly, not guessed at.
+            raise TypeError(
+                f"events.ts has unexpected dtype {ts_type!r}; expected "
+                "timestamp/timestamp_ntz (current testdata) or bigint nanos "
+                "(legacy). Update load_table's normalization for this schema."
+            )
     return df
 
 

@@ -5,8 +5,6 @@ the golden reference; the same plan executed as a file stream
 
 from __future__ import annotations
 
-import shutil
-
 import pytest
 
 from aidc_2018_timeseries_spark.sources.tables import load_table
@@ -18,9 +16,15 @@ from tests.conftest import SF_DIR
 
 
 @pytest.fixture(scope="module")
-def stream_dir(tmp_path_factory):
+def stream_dir(tmp_path_factory, spark):
+    # Write the stream source from the ALREADY-NORMALIZED frame (ts = int64
+    # nanos, ts_utc = µs timestamp) rather than copying the raw parquet:
+    # copying raw bytes and reading them back with the normalized schema fed
+    # epoch-µs into a nanos-typed column (round-3 red test). Streaming the
+    # load_table output guarantees batch and stream see identical values by
+    # construction, whatever physical type the testdata uses.
     d = tmp_path_factory.mktemp("events_stream")
-    shutil.copy(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    load_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(str(d))
     return str(d)
 
 
@@ -37,8 +41,6 @@ def _run_stream(spark, stream_df, name):
 
 
 def test_sliding_window_stream_matches_batch(spark, stream_dir):
-    from pyspark.sql import functions as F
-
     static = load_table(spark, SF_DIR, "events")
     golden = sorted(
         map(
@@ -48,12 +50,9 @@ def test_sliding_window_stream_matches_batch(spark, stream_dir):
             ).collect(),
         )
     )
+    assert golden, "batch golden must be non-empty for the test to mean anything"
 
-    stream = (
-        spark.readStream.schema(static.drop("ts_utc").schema)
-        .parquet(stream_dir)
-        .withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
     result = _run_stream(
         spark,
         windowed_event_aggregate(stream, window="6 hours", slide="2 hours"),
@@ -63,18 +62,14 @@ def test_sliding_window_stream_matches_batch(spark, stream_dir):
     assert got == golden
 
 
-def test_session_window_stream_runs(spark, stream_dir):
-    from pyspark.sql import functions as F
-
+def test_session_window_stream_matches_batch(spark, stream_dir):
     static = load_table(spark, SF_DIR, "events")
-    stream = (
-        spark.readStream.schema(static.drop("ts_utc").schema)
-        .parquet(stream_dir)
-        .withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    golden = sorted(map(tuple, sessionize_stream(static).collect()))
+    assert golden, "batch golden must be non-empty for the test to mean anything"
+
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
     result = _run_stream(spark, sessionize_stream(stream), "sessions")
-    batch = sessionize_stream(static)
-    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+    assert sorted(map(tuple, result.collect())) == golden
 
 
 def test_interval_join_stream_matches_batch(spark, stream_dir):
@@ -95,11 +90,7 @@ def test_interval_join_stream_matches_batch(spark, stream_dir):
     assert golden, "batch golden must be non-empty for the test to mean anything"
 
     def stream():
-        return (
-            spark.readStream.schema(static.drop("ts_utc").schema)
-            .parquet(stream_dir)
-            .withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return spark.readStream.schema(static.schema).parquet(stream_dir)
 
     clicks_s = stream().filter(F.col("event_type") == "click")
     errors_s = stream().filter(F.col("event_type") == "error")
