@@ -1,10 +1,12 @@
 """Multimodal column operators: image/audio/video as opaque binary columns
 with typed metadata (BASELINE.json north star).
 
-The container has no image/audio decode libraries, so the decode kernels
-are STUBS behind import-guards with a deterministic fake fallback — but
-the Spark-side plumbing is real and tested: binary schema, Arrow batch
-shape through mapInPandas, per-partition bounded memory, metadata pushdown.
+Decode kernels are import-guarded (scipy-shim pattern,
+``sources/matfiles.py``): when PIL is importable the image decode/resize
+kernels are REAL (Image.open / resize, PIL-gated pytest); in codec-less
+containers a deterministic fake takes over. Either way the Spark-side
+plumbing is identical and tested: binary schema, Arrow batch shape through
+mapInPandas, per-partition bounded memory, metadata pushdown.
 
 At 100 TB the pattern is: binary payloads live in parquet alongside typed
 metadata columns; filters run on metadata (pushed to the scan, payloads
@@ -55,12 +57,27 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
+def _pil_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Real image decode (runs when PIL is importable — not in this
+    container, covered by a PIL-gated pytest elsewhere): dimensions,
+    channel count, and grayscale mean intensity in [0, 1]."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        width, height = im.size
+        n_channels = len(im.getbands())
+        gray = im.convert("L")
+        data = gray.tobytes()
+        mean_intensity = (sum(data) / max(len(data), 1)) / 255.0
+    return width, height, n_channels, mean_intensity
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
-    """Deterministic fake 'image' decode: dimensions and mean intensity
-    derived from the bytes. Real decode (PIL) raises NotImplementedError
-    until the dependency exists — clearly marked stub per the brief."""
-    if _HAS_PIL:
-        raise NotImplementedError("real image decode: wire PIL.Image.open here")
+    """Deterministic fake 'image' decode for containers without a codec:
+    dimensions and mean intensity derived from the bytes — clearly marked
+    stub per the brief; the PIL kernel takes over when importable."""
     n = len(payload)
     width = 16 + (n % 64)
     height = 16 + ((n // 64) % 64)
@@ -68,17 +85,26 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, 3, mean_intensity
 
 
+_decode_kernel = _pil_decode if _HAS_PIL else _fake_decode
+
+
 def decode_images(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    kernel=None,
 ) -> DataFrame:
     """Arrow-batched decode via mapInPandas: the real production shape —
     batches of binary payloads stream through Python workers, output is a
-    typed metadata frame. Swap _fake_decode for a real kernel without
-    touching the plan."""
+    typed metadata frame. The default kernel is PIL when importable, the
+    deterministic fake otherwise — the plan is identical either way; pass
+    ``kernel=`` explicitly to pin one (the catalog face pins the fake,
+    since testdata payloads are utf8 text, not images)."""
+    kern = kernel or _decode_kernel
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            rows = [kern(bytes(p)) for p in pdf[payload_col]]
             out = pd.DataFrame(rows, columns=["width", "height", "n_channels", "mean_intensity"])
             out.insert(0, "doc_id", pdf[id_col].values)
             yield out
@@ -114,28 +140,37 @@ def resize_images(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Resize stub with real Arrow plumbing: batches of binary payloads in,
-    batches of (id, w, h, resized binary) out via mapInPandas — the exact
-    shape a PIL/opencv kernel drops into. The fake kernel emits a
-    deterministic byte buffer of the true target size (w*h*3), so output
-    schema, sizes, and batch flow are all testable without the codec."""
-    if _HAS_PIL:
-        raise NotImplementedError("real image resize: wire PIL Image.resize here")
-
+    """Resize with real Arrow plumbing: batches of binary payloads in,
+    batches of (id, w, h, resized binary) out via mapInPandas. When PIL is
+    importable the kernel decodes, resizes, and emits raw RGB bytes; the
+    container fallback emits a deterministic byte buffer of the true
+    target size (w*h*3), so output schema, sizes, and batch flow are
+    testable either way."""
     n_out = target_w * target_h * 3
+
+    if _HAS_PIL:
+
+        def _resize_one(p: bytes) -> bytes:
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(p)) as im:
+                return im.convert("RGB").resize((target_w, target_h)).tobytes()
+
+    else:
+
+        def _resize_one(p: bytes) -> bytes:
+            return ((p or b"\x00") * (n_out // max(len(p), 1) + 1))[:n_out]
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [
-                ((bytes(p) or b"\x00") * (n_out // max(len(bytes(p)), 1) + 1))[:n_out]
-                for p in pdf[payload_col]
-            ]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
                     "width": target_w,
                     "height": target_h,
-                    "resized": resized,
+                    "resized": [_resize_one(bytes(p)) for p in pdf[payload_col]],
                 }
             )
             yield out

@@ -40,5 +40,9 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stubbed deterministically (no media libs in container)",
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.multimodal import _fake_decode
+
     d = load_table(spark, sf_dir, "documents")
-    return decode_images(attach_binary_payload(d, "text"))
+    # kernel pinned to the deterministic fake: testdata payloads are utf8
+    # text, which a real codec would (rightly) reject
+    return decode_images(attach_binary_payload(d, "text"), kernel=_fake_decode)

@@ -81,11 +81,14 @@ def test_binary_metadata_and_decode(spark):
         assert r["n_bytes"] == len(r["text"].encode())
         assert r["sha256"] == hashlib.sha256(r["text"].encode()).hexdigest()
 
-    decoded = decode_images(attach_binary_payload(d, "text")).collect()
-    assert len(decoded) == 50
-    for r in decoded:
-        assert r["width"] >= 16 and r["height"] >= 16 and r["n_channels"] == 3
-        assert 0.0 <= r["mean_intensity"] <= 1.0
+    from aidc_2018_timeseries_spark.operators import multimodal as mm
+
+    if not mm._HAS_PIL:  # fake-kernel path: text payloads aren't real images
+        decoded = decode_images(attach_binary_payload(d, "text")).collect()
+        assert len(decoded) == 50
+        for r in decoded:
+            assert r["width"] >= 16 and r["height"] >= 16 and r["n_channels"] == 3
+            assert 0.0 <= r["mean_intensity"] <= 1.0
 
 
 def test_frame_sample_stub(spark):
@@ -97,10 +100,14 @@ def test_frame_sample_stub(spark):
 
 
 def test_resize_stub_shapes(spark):
+    from aidc_2018_timeseries_spark.operators import multimodal as mm
     from aidc_2018_timeseries_spark.operators.multimodal import (
         attach_binary_payload,
         resize_images,
     )
+
+    if mm._HAS_PIL:
+        pytest.skip("fake-kernel path; PIL path covered by test_pil_decode_resize")
 
     docs = load_table(spark, SF_DIR, "documents").limit(20).select("doc_id", "text")
     # include an empty payload: the fake kernel must still emit w*h*3 bytes
@@ -131,3 +138,41 @@ def test_audio_feature_extract_row_expansion(spark):
     for doc_id, n in sizes.items():
         expect_frames = max(1, -(-n // 64))
         assert got[doc_id] == expect_frames - 1
+
+
+def test_pil_decode_resize(spark):
+    """Real-codec path (runs only where PIL is installed — mirrors the
+    scipy .mat shim's test gating): synthesize tiny PNGs driver-side,
+    push them through the SAME mapInPandas plans as the fake kernel, and
+    check true dimensions, channel count, and resized byte length."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from aidc_2018_timeseries_spark.operators.multimodal import (
+        decode_images,
+        resize_images,
+    )
+
+    def png_bytes(w, h, color):
+        buf = io.BytesIO()
+        PIL_Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, png_bytes(20, 10, (255, 255, 255))),  # white -> mean_intensity 1.0
+        (2, png_bytes(7, 5, (0, 0, 0))),  # black -> mean_intensity 0.0
+        (3, png_bytes(64, 64, (128, 64, 32))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    decoded = {r["doc_id"]: r for r in decode_images(df).collect()}
+    assert (decoded[1]["width"], decoded[1]["height"]) == (20, 10)
+    assert decoded[1]["mean_intensity"] == pytest.approx(1.0)
+    assert decoded[2]["mean_intensity"] == pytest.approx(0.0)
+    assert all(decoded[i]["n_channels"] == 3 for i in (1, 2, 3))
+
+    resized = resize_images(df, target_w=8, target_h=4).collect()
+    assert len(resized) == 3
+    for r in resized:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["resized"]) == 8 * 4 * 3  # raw RGB bytes at target size
