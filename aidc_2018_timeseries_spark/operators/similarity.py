@@ -75,6 +75,56 @@ def assign_centroids(
     )
 
 
+def assign_centroids_arrow(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """IVF build, Arrow-batched: nearest centroid per vector as ONE dense
+    normalized GEMM per batch — (batch_rows × dim) @ (dim × C) — instead of
+    C interpreted fold expressions per row.
+
+    Why this exists: the expression form (``assign_centroids``) costs
+    n × C interpreted 64-dim folds; with stride-derived centroids C grows
+    with n, making the build QUADRATIC — measured 152s for n=20k vs 12s
+    for the GEMM form's sibling (SCALING.md round-4 ANN audit). Centroids
+    are collected driver-side (bounded: C × dim floats — an IVF index
+    build step, run once and reused at scale) and closed over, so workers
+    do pure BLAS. Argmax tiebreak = smallest centroid_id on the
+    6-dp-rounded similarity, matching the expression form.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(centroids.collect(), key=lambda r: r[centroid_id_col])
+    ids = np.array([r[centroid_id_col] for r in rows], dtype=np.int64)
+    M = np.array([r[centroid_vec_col] for r in rows], dtype=np.float64)
+    Mn = (M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)).T
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            S = np.round(Vn @ Mn, 6)
+            # argmax returns the FIRST max; columns are centroid_id-ascending
+            best = ids[np.argmax(S, axis=1)]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: pdf[vec_col], centroid_id_col: best}
+            )
+
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    vec_t = vectors.schema[vec_col].dataType.simpleString()
+    cid_t = centroids.schema[centroid_id_col].dataType.simpleString()
+    return vectors.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} {id_t}, {vec_col} {vec_t}, {centroid_id_col} {cid_t}"
+    )
+
+
 def stride_centroids(
     vectors: DataFrame,
     stride: int,
@@ -97,14 +147,27 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe nearest centroid cells only.
 
     Recall < 1 by design; tests measure recall against brute force rather
     than exact equality (the driver's rows-only check applies).
+
+    ``n_centroids`` overrides ``centroid_stride`` with a corpus-size-
+    independent cell count (stride = n / n_centroids, one count() job at
+    build time). This is the scale knob: a FIXED stride makes C grow with
+    the corpus and the build cost n·C quadratic; fixing C (≈√n is the
+    classic IVF choice) keeps the build linear and the probed fraction
+    n_probe/C stable. The assignment itself runs as an Arrow GEMM
+    (``assign_centroids_arrow``) — the expression form is kept for
+    bit-reproducible small-scale parity but is never the scale path.
     """
+    if n_centroids is not None:
+        n = vectors.count()
+        centroid_stride = max(1, n // max(1, n_centroids))
     cents = stride_centroids(vectors, centroid_stride, id_col, vec_col)
-    inverted = assign_centroids(vectors, cents, id_col, vec_col)
+    inverted = assign_centroids_arrow(vectors, cents, id_col, vec_col)
     # queries → their n_probe closest centroids
     qc = queries.crossJoin(F.broadcast(cents))
     qsim = F.round(cosine_similarity(F.col(query_vec_col), F.col("centroid_vec")), 6)

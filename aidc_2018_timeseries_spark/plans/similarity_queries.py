@@ -51,12 +51,16 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_ivf",
     None,  # approximate: driver rows-only check; recall tested vs brute force
-    doc="IVF approximate top-5: stride centroids, probe 3 cells "
-    "(touches ~n_probe/C of the corpus instead of all of it)",
+    doc="IVF approximate top-5: ~sqrt(n) centroids (Arrow-GEMM assignment), "
+    "probe 3 cells (touches ~n_probe/C of the corpus instead of all of it)",
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings")
-    return sim.ivf_topk(v, _queries_df(v), centroid_stride=50, n_probe=3, k=_K)
+    # C ≈ √n keeps the index build linear and the probed fraction stable as
+    # the corpus grows (round-4 ANN audit: fixed stride made the build
+    # quadratic — slower than brute force at 10× data)
+    n_cells = max(32, int(v.count() ** 0.5))
+    return sim.ivf_topk(v, _queries_df(v), n_centroids=n_cells, n_probe=3, k=_K)
 
 
 @register(
@@ -66,8 +70,16 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tables, candidates equi-joined on (table, bucket), exact rescoring",
 )
 def knn_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     v = load_table(spark, sf_dir, "embeddings")
-    return sim.rp_lsh_topk(v, _queries_df(v), n_tables=16, n_bits=5, k=_K)
+    # bucket count tracks corpus size (target ~64 vectors/bucket): FIXED
+    # n_bits makes per-bucket population — and so candidate volume — grow
+    # linearly with the corpus, degenerating toward brute force (round-4
+    # ANN audit measured 489s at 100× with n_bits=5 vs 8.8s with this knob)
+    n = v.count()
+    bits = max(5, math.ceil(math.log2(max(n, 2) / 64)))
+    return sim.rp_lsh_topk(v, _queries_df(v), n_tables=16, n_bits=bits, k=_K)
 
 
 @register(

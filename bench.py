@@ -47,6 +47,11 @@ HEADLINE = [
     "q10_returned_items",
     "text_decontaminate_ngrams",
     "kmeans_step_centroids",
+    # added round 4: the approximate ANN scale paths, measured next to
+    # knn_brute_force so the bucketed-vs-exact gap is on the record
+    # (subtract from totals when comparing against BENCH_r01-r03)
+    "knn_ivf",
+    "knn_rp_lsh",
 ]
 
 
