@@ -122,3 +122,46 @@ def test_rp_lsh_wide_tables_recover_exact(spark):
     exact = sorted(map(tuple, brute_force_topk(v, q, k=5).collect()))
     got = sorted(map(tuple, rp_lsh_topk(v, q, n_tables=16, n_bits=1, k=5).collect()))
     assert exact == got
+
+
+def test_assign_centroids_arrow_matches_expression_form(spark):
+    """The Arrow GEMM assignment (the scale path inside ivf_topk) must pick
+    the SAME centroid per vector as the expression form, including the
+    smallest-centroid-id tiebreak on the 6-dp-rounded similarity."""
+    from aidc_2018_timeseries_spark.operators.similarity import (
+        assign_centroids,
+        assign_centroids_arrow,
+    )
+
+    v = load_table(spark, SF_DIR, "embeddings")
+    cents = stride_centroids(v, 50)
+    expr = {
+        r["vec_id"]: r["centroid_id"] for r in assign_centroids(v, cents).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_centroids_arrow(v, cents).collect()
+    }
+    assert expr.keys() == arrow.keys()
+    diff = {k for k in expr if expr[k] != arrow[k]}
+    # identical up to genuine 6-dp rounding boundaries (none in this data)
+    assert not diff, f"{len(diff)} assignment diffs, e.g. {sorted(diff)[:3]}"
+
+
+def test_ivf_n_centroids_knob(spark):
+    """n_centroids derives the stride from a count so cell count stays
+    corpus-size-independent; results remain well-formed and recall holds."""
+    v = load_table(spark, SF_DIR, "embeddings")
+    q = _queries(v)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(v, q, k=5).collect()
+    }
+    got = ivf_topk(v, q, n_centroids=10, n_probe=3, k=5).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    assert len(exact & approx) / len(exact) >= 0.2
+    ranks = {}
+    for r in got:
+        assert r["neighbor_id"] != r["query_id"]
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
