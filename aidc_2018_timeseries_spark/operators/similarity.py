@@ -266,6 +266,7 @@ def embedding_lsh_dup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs, LSH-bucketed: candidates = vectors
     sharing any table's sign-bucket (equi-join on (table_id, bucket) over
@@ -273,12 +274,18 @@ def embedding_lsh_dup_pairs(
 
     This is the 100 TB catalog face for embedding dedup: the corpus is
     never self-joined all-pairs — only bucket keys shuffle, and n_bits
-    scales the bucket count with the corpus. Precision is exact (rescore);
-    recall < 1 by design and is pinned against the brute-force baseline in
-    tests/test_similarity.py. Output: (id_a, id_b, sim), id_a < id_b.
+    scales the bucket count with the corpus (it MUST: fixed bits means
+    per-bucket population ∝ n and candidates quadratic — measured 15s→300s
+    over one decade with n_bits=4, SCALING.md round-4 audit). Precision is
+    exact (rescore); recall < 1 by design and is pinned against the
+    brute-force baseline in tests/test_similarity.py. ``arrow=True``
+    computes signatures as a batched GEMM (the scale path); the default
+    expression form stays bit-reproducible for the DuckDB oracle.
+    Output: (id_a, id_b, sim), id_a < id_b.
     """
     planes = hyperplane_rows(dim, n_tables, n_bits, seed)
-    sig = lsh_signatures(vectors, planes, id_col, vec_col)
+    sig_fn = lsh_signatures_arrow if arrow else lsh_signatures
+    sig = sig_fn(vectors, planes, id_col, vec_col)
     cand = (
         sig.alias("a")
         .join(

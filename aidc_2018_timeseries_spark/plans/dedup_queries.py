@@ -366,3 +366,29 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_LSH_SEED,
         dim=_LSH_DIM,
     )
+
+
+@register(
+    "dedup_embedding_lsh_scaled",
+    None,  # corpus-derived n_bits can't be inlined into a static oracle →
+    # rows-only; the fixed-bits sibling above carries the exact-value check
+    doc="corpus-scaled sign-LSH near-dup pairs: n_bits targets ~64 vectors/"
+    "bucket and signatures run as Arrow GEMM — the deployment shape of "
+    "dedup_embedding_lsh, whose fixed n_bits is quadratic as the corpus "
+    "grows (SCALING.md round-4 audit: 15s→300s over one decade)",
+)
+def dedup_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    bits = max(_LSH_BITS, math.ceil(math.log2(max(n, 2) / 64)))
+    return embedding_lsh_dup_pairs(
+        e,
+        threshold=_LSH_THRESHOLD,
+        n_tables=_LSH_TABLES,
+        n_bits=bits,
+        seed=_LSH_SEED,
+        dim=_LSH_DIM,
+        arrow=True,
+    )

@@ -165,3 +165,24 @@ def test_ivf_n_centroids_knob(spark):
         assert r["neighbor_id"] != r["query_id"]
         ranks.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+def test_embedding_lsh_scaled_face_matches_fixed_face_at_small_n(spark):
+    """At sf0.001 the corpus-derived n_bits collapses to the fixed face's
+    value, so the scaled (Arrow-GEMM) face must find essentially the same
+    pair set — differences can only come from sign bits at 6-dp rounding
+    boundaries, which this data doesn't produce."""
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+
+    load_all()
+    fixed = {
+        (r["id_a"], r["id_b"])
+        for r in CATALOG["dedup_embedding_lsh"].spark_fn(spark, SF_DIR).collect()
+    }
+    scaled = {
+        (r["id_a"], r["id_b"])
+        for r in CATALOG["dedup_embedding_lsh_scaled"].spark_fn(spark, SF_DIR).collect()
+    }
+    assert fixed and scaled
+    overlap = len(fixed & scaled) / len(fixed | scaled)
+    assert overlap >= 0.9, f"pair-set Jaccard {overlap}"
