@@ -150,3 +150,55 @@ def stratified_hash_sample(
             F.col(stratum_col) == stratum, F.lit(int(round(frac * 1_000_000)))
         ).otherwise(thresh)
     return df.filter((h % 1_000_000) < thresh)
+
+
+def upweight_mixture(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    seed: int | str = 42,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Domain-mixture resampling with weights that may EXCEED 1 — the
+    "epochs per domain" knob an LLM training mix needs (upsample scarce
+    high-quality sources, downsample bulk crawl). A row in stratum s with
+    weight w appears floor(w) times plus one more with deterministic
+    probability frac(w) (hash-Bernoulli on the id — reproducible across
+    engines, partitionings, and reruns, unlike rand()). Weights < 1
+    degenerate to stratified downsampling; strata absent from ``weights``
+    get ``default_weight``.
+
+    Scale shape: the repeat count is a row-local expression and the fan-out
+    is explode(sequence(1, n)) — map-side, no shuffle, no RNG state. The
+    emitted ``copy_col`` (1..n) distinguishes copies so a downstream
+    shuffle/sort can spread them.
+    """
+    from aidc_2018_timeseries_spark.functions.hashing import hash64_seeded
+
+    def _parts(w: float) -> tuple[int, int]:
+        if w < 0:
+            raise ValueError(f"negative mixture weight {w}")
+        base = int(w)
+        return base, int(round((w - base) * 1_000_000))
+
+    d_base, d_frac = _parts(default_weight)
+    base = F.lit(d_base)
+    frac = F.lit(d_frac)
+    for stratum, w in weights.items():
+        s_base, s_frac = _parts(w)
+        base = F.when(F.col(stratum_col) == stratum, F.lit(s_base)).otherwise(base)
+        frac = F.when(F.col(stratum_col) == stratum, F.lit(s_frac)).otherwise(frac)
+
+    h = hash64_seeded(F.col(id_col).cast("string"), f"mix:{seed}")
+    n = (base + ((h % 1_000_000) < frac).cast("int")).alias("_n_copies")
+    # sequence(1, 0) would generate a DESCENDING [1, 0] in Spark — rows
+    # with zero copies must be filtered BEFORE the explode
+    return (
+        df.withColumn("_n_copies", n)
+        .filter(F.col("_n_copies") >= 1)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .withColumn(copy_col, F.col(copy_col).cast("long"))
+        .drop("_n_copies")
+    )

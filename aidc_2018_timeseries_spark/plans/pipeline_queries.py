@@ -269,6 +269,46 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HDOC = (
+    "CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('mix:7:', CAST(doc_id AS VARCHAR))), 1, 15)) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "sample_mixture_upweight",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                         WHEN 'src2' THEN 0 WHEN 'src3' THEN 3 ELSE 1 END
+             + CASE WHEN {_HDOC} % 1000000 <
+                    CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 500000
+                                WHEN 'src2' THEN 0 WHEN 'src3' THEN 0 ELSE 0 END
+               THEN 1 ELSE 0 END AS n
+      FROM documents)
+    SELECT doc_id, source, CAST(copy_idx AS BIGINT) AS copy_idx FROM (
+      SELECT doc_id, source, unnest(generate_series(1, n)) AS copy_idx
+      FROM d WHERE n >= 1)
+    """,
+    doc="LLM domain-mixture resampling with weights > 1 ('epochs per "
+    "domain'): src3 ×3, src0 ×2.5 (hash-Bernoulli fractional copy), src1 "
+    "×0.5 downsample, src2 dropped, everything else ×1 — map-side "
+    "explode(sequence), no shuffle, no RNG, reproducible across engines",
+)
+def sample_mixture_upweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.split import upweight_mixture
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return upweight_mixture(
+        d,
+        "doc_id",
+        "source",
+        {"src0": 2.5, "src1": 0.5, "src2": 0.0, "src3": 3.0},
+        seed=7,
+    )
+
+
 # --- §3.3 forecasting chain: W1(T+1) → next-point target → P4 → W13 split ---
 @register(
     "forecasting_next_point",
