@@ -230,6 +230,38 @@ def remove_stopwords(text: Column | str, stopwords: list[str] | None = None) -> 
     )
 
 
+#: (name, pattern, replacement) — ordered; applied sequentially. Patterns
+#: restrict to the RE2 ∩ Java-regex dialect (char classes, bounded
+#: quantifiers, \b — no backrefs, no lookaround) so the SAME string runs
+#: in Spark (Java) and the DuckDB oracle (RE2) with identical semantics.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Curation scrubbing pass: replace email / IPv4 / phone-shaped spans
+    with typed placeholder tokens. Pure Catalyst regexp_replace chain —
+    scan-local, codegen'd, no Python. Later patterns cannot re-match
+    earlier replacements (placeholders contain no digits or '@')."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-pattern match counts on the ORIGINAL text (independent counts —
+    audit layer for redaction coverage dashboards)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
 def greedy_pack(
     df, group_col: str, id_col: str, text_col: str, budget: int
 ):

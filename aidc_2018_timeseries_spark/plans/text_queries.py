@@ -422,3 +422,59 @@ def text_normalize_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return tx.greedy_pack(d, "source", "doc_id", "text", 256)
+
+
+# --- PII redaction (curation scrubbing pass) ---
+# The synthetic corpus carries no natural PII, so the face plants
+# deterministic doc_id-derived email/IP/phone spans FIRST (identically on
+# both engines) and then redacts — the operator is exercised on real
+# matches while staying byte-reproducible. Patterns live in
+# operators/text.PII_PATTERNS (RE2 ∩ Java dialect, one source of truth).
+_PII_AUG_SQL = (
+    "CONCAT(text, ' contact user', CAST(doc_id AS VARCHAR), "
+    "'@example.com from 10.0.', CAST(doc_id % 256 AS VARCHAR), "
+    "'.7 tel +1555-01', CAST(doc_id % 90 + 10 AS VARCHAR))"
+)
+
+
+def _pii_oracle() -> str:
+    redacted = "t"
+    for _, pat, repl in tx.PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in tx.PII_PATTERNS
+    )
+    return f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    SELECT doc_id, {counts}, {redacted} AS redacted FROM aug
+    """
+
+
+@register(
+    "text_redact_pii",
+    _pii_oracle(),
+    doc="PII scrubbing: email/IPv4/phone spans replaced by typed "
+    "placeholders, with per-pattern audit counts — pure Catalyst "
+    "regexp chain, scan-local (deterministic planted PII; see comment)",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1555-01"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+        ),
+    )
+    counts = tx.pii_counts("t")
+    return aug.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        tx.redact_pii("t").alias("redacted"),
+    )

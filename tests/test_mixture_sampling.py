@@ -54,3 +54,30 @@ def test_mean_multiplicity_tracks_weight(spark):
     total_src0 = sum(n for (d, s), n in per_doc.items() if s == "src0")
     # hash-Bernoulli over the stratum: mean within ±0.35 of 2.5 for n≈25
     assert abs(total_src0 / n_src0 - 2.5) <= 0.35
+
+
+def test_redact_pii_operator(spark):
+    """Planted spans must be fully replaced and counted; placeholder
+    tokens must never re-match a later pattern."""
+    from aidc_2018_timeseries_spark.operators.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "reach me at a.b+c@mail.example.org or 192.168.1.10 now"),
+        (2, "call +1 555-123 4567 twice: +44 20-7946 0958 end"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii("t").alias("red"),
+            *[c.alias(f"n_{k}") for k, c in pii_counts("t").items()],
+        ).collect()
+    }
+    assert out[1]["red"] == "reach me at <EMAIL> or <IP> now"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 0)
+    assert out[2]["red"] == "call <PHONE> twice: <PHONE> end"
+    assert out[2]["n_phone"] == 2
+    assert out[3]["red"] == "no pii here at all"
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
