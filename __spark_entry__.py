@@ -36,33 +36,34 @@ _PRIORITY = [
 
 
 def _sweep_order() -> list[str]:
-    """Catalog names, queries WITHOUT a fully-green row in ANY
-    CORRECTNESS_r*.json first.
+    """Catalog names, queries WITHOUT a green driver verdict first.
 
     Round 1 showed the driver's sweep can stop early (it covered exactly the
     first 50 registrations), so ordering decides verification coverage. The
-    green set is the UNION over every correctness file — reading only the
+    green set accumulates across EVERY correctness file — reading only the
     latest made successive truncated sweeps ping-pong between the same two
-    query sets (round-3 verdict item 1) and never reach the tail. Within the
-    unverified group: judge-named starved queries (_PRIORITY) first, then
-    the remaining unverified in registration order with rows-only queries
-    interleaved (one per three oracle-bearing) rather than banished to the
-    end; cumulative-green queries close the list.
+    query sets (round-3 verdict item 1) and never reach the tail — but a
+    query's LATEST verdict wins: one that regressed after an earlier green
+    round re-enters the unverified front instead of being hidden forever by
+    a plain union. Within the unverified group: judge-named starved queries
+    (_PRIORITY) first, then the remaining unverified in registration order
+    with rows-only queries interleaved (one per three oracle-bearing)
+    rather than banished to the end; green queries close the list.
     """
-    green: set[str] = set()
+    status: dict[str, bool] = {}
     for run in sorted(_HERE.glob("CORRECTNESS_r*.json")):
         try:
             report = json.loads(run.read_text())
         except (OSError, ValueError):  # unreadable report → skip it
             continue
-        green |= {
-            name
-            for name, row in report.items()
-            if row.get("rows_match")
-            and row.get("schema_match", True)
-            and row.get("hash_match", True)
-            and not row.get("err")
-        }
+        for name, row in report.items():
+            status[name] = bool(
+                row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+    green = {name for name, ok in status.items() if ok}
     names = list(CATALOG)
     pri = [n for n in _PRIORITY if n in CATALOG and n not in green]
     rest = [n for n in names if n not in green and n not in pri]

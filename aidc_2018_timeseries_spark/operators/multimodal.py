@@ -133,35 +133,50 @@ _RESIZE_SCHEMA = T.StructType(
 )
 
 
+def fake_resize_kernel(target_w: int, target_h: int):
+    """Deterministic codec-less resize kernel factory: emits a byte buffer
+    of the true target size (w*h*3) derived from the payload."""
+    n_out = target_w * target_h * 3
+
+    def _resize_one(p: bytes) -> bytes:
+        return ((p or b"\x00") * (n_out // max(len(p), 1) + 1))[:n_out]
+
+    return _resize_one
+
+
+def pil_resize_kernel(target_w: int, target_h: int):
+    """Real resize kernel factory (requires PIL): decode, resize, raw RGB."""
+
+    def _resize_one(p: bytes) -> bytes:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(p)) as im:
+            return im.convert("RGB").resize((target_w, target_h)).tobytes()
+
+    return _resize_one
+
+
 def resize_images(
     df: DataFrame,
     target_w: int = 32,
     target_h: int = 32,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    kernel=None,
 ) -> DataFrame:
     """Resize with real Arrow plumbing: batches of binary payloads in,
-    batches of (id, w, h, resized binary) out via mapInPandas. When PIL is
-    importable the kernel decodes, resizes, and emits raw RGB bytes; the
-    container fallback emits a deterministic byte buffer of the true
-    target size (w*h*3), so output schema, sizes, and batch flow are
-    testable either way."""
-    n_out = target_w * target_h * 3
-
-    if _HAS_PIL:
-
-        def _resize_one(p: bytes) -> bytes:
-            import io
-
-            from PIL import Image
-
-            with Image.open(io.BytesIO(p)) as im:
-                return im.convert("RGB").resize((target_w, target_h)).tobytes()
-
-    else:
-
-        def _resize_one(p: bytes) -> bytes:
-            return ((p or b"\x00") * (n_out // max(len(p), 1) + 1))[:n_out]
+    batches of (id, w, h, resized binary) out via mapInPandas. The default
+    kernel is PIL when importable (decode → resize → raw RGB bytes), the
+    deterministic fake otherwise; pass ``kernel=`` (a bytes→bytes callable,
+    e.g. ``fake_resize_kernel(w, h)``) to pin one — mirrors
+    :func:`decode_images`, needed when payloads aren't real images."""
+    _resize_one = kernel or (
+        pil_resize_kernel(target_w, target_h)
+        if _HAS_PIL
+        else fake_resize_kernel(target_w, target_h)
+    )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -99,7 +99,18 @@ def assign_centroids_arrow(
     import numpy as np
     import pandas as pd
 
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    vec_t = vectors.schema[vec_col].dataType.simpleString()
+    cid_t = centroids.schema[centroid_id_col].dataType.simpleString()
     rows = sorted(centroids.collect(), key=lambda r: r[centroid_id_col])
+    if not rows:
+        # degrade like the expression form: no centroids → no assignments
+        # (np.linalg.norm on a 0-row matrix would raise driver-side)
+        return (
+            vectors.select(id_col, vec_col)
+            .filter(F.lit(False))
+            .withColumn(centroid_id_col, F.lit(None).cast(cid_t))
+        )
     ids = np.array([r[centroid_id_col] for r in rows], dtype=np.int64)
     M = np.array([r[centroid_vec_col] for r in rows], dtype=np.float64)
     Mn = (M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)).T
@@ -117,9 +128,6 @@ def assign_centroids_arrow(
                 {id_col: pdf[id_col], vec_col: pdf[vec_col], centroid_id_col: best}
             )
 
-    id_t = vectors.schema[id_col].dataType.simpleString()
-    vec_t = vectors.schema[vec_col].dataType.simpleString()
-    cid_t = centroids.schema[centroid_id_col].dataType.simpleString()
     return vectors.select(id_col, vec_col).mapInPandas(
         gen, schema=f"{id_col} {id_t}, {vec_col} {vec_t}, {centroid_id_col} {cid_t}"
     )
@@ -206,6 +214,16 @@ def embedding_cosine_dup_pairs(
     pairs = left.join(right, F.col("id_a") < F.col("id_b"))
     sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
     return pairs.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
+
+
+def scaled_n_bits(n: int, target_per_bucket: int = 64, floor: int = 5) -> int:
+    """LSH bucket-granularity law, in one place: choose n_bits so expected
+    bucket population n / 2^bits ≈ target_per_bucket. Fixed bits make the
+    population — and candidate volume — grow linearly with the corpus,
+    degenerating toward brute force (SCALING.md round-4 ANN audit)."""
+    import math
+
+    return max(floor, math.ceil(math.log2(max(n, 2) / target_per_bucket)))
 
 
 def hyperplane_rows(

@@ -378,11 +378,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grows (SCALING.md round-4 audit: 15s→300s over one decade)",
 )
 def dedup_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
+    from aidc_2018_timeseries_spark.operators.similarity import scaled_n_bits
 
     e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
-    bits = max(_LSH_BITS, math.ceil(math.log2(max(n, 2) / 64)))
+    bits = scaled_n_bits(e.count(), floor=_LSH_BITS)
     return embedding_lsh_dup_pairs(
         e,
         threshold=_LSH_THRESHOLD,

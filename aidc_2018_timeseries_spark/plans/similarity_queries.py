@@ -58,9 +58,12 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings")
     # C ≈ √n keeps the index build linear and the probed fraction stable as
     # the corpus grows (round-4 ANN audit: fixed stride made the build
-    # quadratic — slower than brute force at 10× data)
-    n_cells = max(32, int(v.count() ** 0.5))
-    return sim.ivf_topk(v, _queries_df(v), n_centroids=n_cells, n_probe=3, k=_K)
+    # quadratic — slower than brute force at 10× data). ONE count() job:
+    # the stride is derived here rather than via ivf_topk's n_centroids
+    # knob, which would re-count the same corpus
+    n = v.count()
+    stride = max(1, n // max(32, int(n**0.5)))
+    return sim.ivf_topk(v, _queries_df(v), centroid_stride=stride, n_probe=3, k=_K)
 
 
 @register(
@@ -70,15 +73,10 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tables, candidates equi-joined on (table, bucket), exact rescoring",
 )
 def knn_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     v = load_table(spark, sf_dir, "embeddings")
-    # bucket count tracks corpus size (target ~64 vectors/bucket): FIXED
-    # n_bits makes per-bucket population — and so candidate volume — grow
-    # linearly with the corpus, degenerating toward brute force (round-4
-    # ANN audit measured 489s at 100× with n_bits=5 vs 8.8s with this knob)
-    n = v.count()
-    bits = max(5, math.ceil(math.log2(max(n, 2) / 64)))
+    # bucket count tracks corpus size (~64 vectors/bucket): round-4 ANN
+    # audit measured 489s at 100× with fixed n_bits=5 vs 8.8s with this
+    bits = sim.scaled_n_bits(v.count())
     return sim.rp_lsh_topk(v, _queries_df(v), n_tables=16, n_bits=bits, k=_K)
 
 

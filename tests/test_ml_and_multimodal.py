@@ -100,20 +100,21 @@ def test_frame_sample_stub(spark):
 
 
 def test_resize_stub_shapes(spark):
-    from aidc_2018_timeseries_spark.operators import multimodal as mm
     from aidc_2018_timeseries_spark.operators.multimodal import (
         attach_binary_payload,
+        fake_resize_kernel,
         resize_images,
     )
 
-    if mm._HAS_PIL:
-        pytest.skip("fake-kernel path; PIL path covered by test_pil_decode_resize")
-
     docs = load_table(spark, SF_DIR, "documents").limit(20).select("doc_id", "text")
-    # include an empty payload: the fake kernel must still emit w*h*3 bytes
+    # include an empty payload: the fake kernel must still emit w*h*3 bytes.
+    # kernel pinned to the fake so the test runs identically with or
+    # without PIL (text payloads aren't decodable images)
     empty = docs.sparkSession.createDataFrame([(10_000_000, "")], ["doc_id", "text"])
     payloads = attach_binary_payload(docs.unionByName(empty), "text")
-    out = resize_images(payloads, target_w=8, target_h=4).collect()
+    out = resize_images(
+        payloads, target_w=8, target_h=4, kernel=fake_resize_kernel(8, 4)
+    ).collect()
     assert len(out) == 21
     for r in out:
         assert (r["width"], r["height"]) == (8, 4)

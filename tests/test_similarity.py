@@ -186,3 +186,17 @@ def test_embedding_lsh_scaled_face_matches_fixed_face_at_small_n(spark):
     assert fixed and scaled
     overlap = len(fixed & scaled) / len(fixed | scaled)
     assert overlap >= 0.9, f"pair-set Jaccard {overlap}"
+
+
+def test_assign_centroids_arrow_empty_centroids(spark):
+    """No centroids → empty assignment (not a driver-side numpy crash),
+    matching the expression form's degradation."""
+    from aidc_2018_timeseries_spark.operators.similarity import (
+        assign_centroids_arrow,
+    )
+
+    v = load_table(spark, SF_DIR, "embeddings")
+    none = stride_centroids(v, 50).filter("centroid_id < 0")
+    out = assign_centroids_arrow(v, none)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "embedding", "centroid_id"]

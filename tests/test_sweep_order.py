@@ -15,18 +15,17 @@ from aidc_2018_timeseries_spark.plans.catalog import CATALOG
 
 
 def _green_union() -> set[str]:
-    green: set[str] = set()
+    status: dict[str, bool] = {}
     for p in sorted(entry._HERE.glob("CORRECTNESS_r*.json")):
         rep = json.loads(p.read_text())
-        green |= {
-            n
-            for n, r in rep.items()
-            if r.get("rows_match")
-            and r.get("schema_match", True)
-            and r.get("hash_match", True)
-            and not r.get("err")
-        }
-    return green
+        for n, r in rep.items():
+            status[n] = bool(
+                r.get("rows_match")
+                and r.get("schema_match", True)
+                and r.get("hash_match", True)
+                and not r.get("err")
+            )
+    return {n for n, ok in status.items() if ok}
 
 
 def test_order_is_a_permutation_of_the_catalog():
@@ -64,6 +63,23 @@ def test_unchecked_rows_only_queries_are_not_banished_to_the_end():
     first_rows_only = unchecked.index(rows_only[0])
     last_oracle = unchecked.index(oracle[-1])
     assert first_rows_only < last_oracle
+
+
+def test_latest_verdict_wins_over_earlier_green(tmp_path, monkeypatch):
+    """A query that was green in an old round but regressed in a newer one
+    must re-enter the unverified front, not stay hidden at the tail (a
+    plain union over rounds would hide the regression forever)."""
+    regressed, still_green = sorted(CATALOG)[:2]
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    bad = {"rows_match": False, "schema_match": True, "hash_match": False, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({regressed: ok, still_green: ok})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({regressed: bad}))
+    monkeypatch.setattr(entry, "_HERE", tmp_path)
+    order = entry._sweep_order()
+    assert order.index(regressed) < order.index(still_green)
+    assert order.index(still_green) == len(order) - 1  # sole green → tail
 
 
 def test_queries_and_oracle_sql_follow_the_same_order():
