@@ -263,7 +263,8 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
 
 
 def greedy_pack(
-    df, group_col: str, id_col: str, text_col: str, budget: int
+    df, group_col: str, id_col: str, text_col: str, budget: int,
+    extra_cols: tuple[str, ...] = (),
 ):
     """Greedy sequence packing: assign docs (in id order within each
     group) to consecutive packs of ~``budget`` tokens — the
@@ -286,6 +287,6 @@ def greedy_pack(
     )
     before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return (
-        df.select(group_col, id_col, n_tok.cast("long").alias("n_tokens"))
+        df.select(group_col, id_col, n_tok.cast("long").alias("n_tokens"), *extra_cols)
         .withColumn("pack_id", F.floor(before / budget).cast("long"))
     )

@@ -478,3 +478,40 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.alias(f"n_{name}") for name, c in counts.items()],
         tx.redact_pii("t").alias("redacted"),
     )
+
+
+# --- pack materialization: concatenated training sequences ---
+@register(
+    "text_pack_concat",
+    f"""
+    WITH t AS (SELECT source, doc_id, text,
+                      CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+    p AS (SELECT source, doc_id, text, n_tokens,
+                 CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+                 AS BIGINT) AS pack_id
+          FROM t)
+    SELECT source, pack_id,
+           string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed_text,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM p GROUP BY source, pack_id
+    """,
+    doc="pack MATERIALIZATION: the packed training sequences themselves — "
+    "docs of each ~256-token pack concatenated in id order with an <eos> "
+    "separator, plus doc/token counts per pack. Same single shuffle on "
+    "source as the assignment face; the concat is a per-pack aggregate "
+    "over the already-partitioned relation",
+)
+def text_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    p = tx.greedy_pack(d, "source", "doc_id", "text", 256, extra_cols=("text",))
+    ordered = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+    return p.groupBy("source", "pack_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["text"]), " <eos> "
+        ).alias("packed_text"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )

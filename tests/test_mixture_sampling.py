@@ -81,3 +81,22 @@ def test_redact_pii_operator(spark):
     assert out[2]["n_phone"] == 2
     assert out[3]["red"] == "no pii here at all"
     assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
+
+
+def test_multiplicity_formula_exact(spark):
+    """Non-statistical check: every doc's copy count equals
+    floor(w) + [md5('mix:7:'||id) % 1e6 < frac(w)·1e6], replicated here
+    with hashlib — the full determinism contract, row by row."""
+    import hashlib
+
+    docs, per_doc, _ = _copies(spark)
+
+    def h(doc_id):
+        return int(hashlib.md5(f"mix:7:{doc_id}".encode()).hexdigest()[:15], 16)
+
+    for r in docs:
+        w = WEIGHTS.get(r["source"], 1.0)
+        base = int(w)
+        frac = int(round((w - base) * 1_000_000))
+        expect = base + (1 if h(r["doc_id"]) % 1_000_000 < frac else 0)
+        assert per_doc.get((r["doc_id"], r["source"]), 0) == expect
