@@ -152,6 +152,32 @@ def stratified_hash_sample(
     return df.filter((h % 1_000_000) < thresh)
 
 
+def fixed_k_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+    seed: int | str = 42,
+) -> DataFrame:
+    """Deterministic fixed-size per-group sample — reservoir-sampling
+    semantics without RNG state: the k smallest seeded id-hashes in each
+    group win, so output size is EXACTLY min(k, |group|) per group (which
+    Bernoulli sampling cannot guarantee) and membership is reproducible
+    across engines, partitionings, and reruns. The eval-set construction
+    primitive: 'k held-out docs per domain'. One shuffle on the group key;
+    the rank window is partition-local.
+    """
+    from aidc_2018_timeseries_spark.functions.hashing import hash64_seeded
+
+    h = hash64_seeded(F.col(id_col).cast("string"), f"res:{seed}")
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def upweight_mixture(
     df: DataFrame,
     id_col: str,

@@ -603,3 +603,31 @@ def forecasting_tumbling_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", ["ts", "event_id"], "value", seq_len=10, look_ahead=3
     )
     return ds.select("user_id", "window_id", "t_in_window", "x", "y", "split")
+
+
+_HRES = (
+    "CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('res:7:', CAST(doc_id AS VARCHAR))), 1, 15)) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "sample_fixed_k_per_source",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {_HRES} ASC, doc_id ASC) AS rk
+      FROM documents)
+    SELECT doc_id, source FROM r WHERE rk <= 5
+    """,
+    doc="deterministic fixed-k-per-group sample (reservoir semantics, no "
+    "RNG): 5 docs per source by seeded-hash order — exactly min(k,|group|) "
+    "rows per group, reproducible across engines/partitionings; the "
+    "eval-holdout construction primitive",
+)
+def sample_fixed_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.split import fixed_k_per_group
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return fixed_k_per_group(d, "doc_id", "source", k=5, seed=7)

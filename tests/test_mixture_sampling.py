@@ -100,3 +100,19 @@ def test_multiplicity_formula_exact(spark):
         frac = int(round((w - base) * 1_000_000))
         expect = base + (1 if h(r["doc_id"]) % 1_000_000 < frac else 0)
         assert per_doc.get((r["doc_id"], r["source"]), 0) == expect
+
+
+def test_fixed_k_per_group(spark):
+    """Exactly min(k, |group|) rows per group, deterministic membership."""
+    from aidc_2018_timeseries_spark.operators.split import fixed_k_per_group
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    out = fixed_k_per_group(d, "doc_id", "source", k=5, seed=7).collect()
+    sizes = Counter(r["source"] for r in out)
+    group_sizes = Counter(r["source"] for r in d.collect())
+    assert sizes == {s: min(5, n) for s, n in group_sizes.items()}
+    again = fixed_k_per_group(d, "doc_id", "source", k=5, seed=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different seed picks a different committee (overwhelmingly likely)
+    other = fixed_k_per_group(d, "doc_id", "source", k=5, seed=8).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
