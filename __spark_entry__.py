@@ -10,6 +10,7 @@ this module only exposes its query catalog.
 from __future__ import annotations
 
 import json
+import re
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -26,8 +27,9 @@ load_all()
 
 # Queries the round-3 judge NAMED as sweep-starved (rows-only ordered last
 # for three rounds running): these take the first sweep slots so even a
-# truncated driver run produces their rows. Already-green names are pruned
-# dynamically, so this list only matters until its entries go green.
+# truncated driver run produces their rows. Visited names (green oracle
+# verdict OR a clean rows-only run) are pruned dynamically, so this list
+# only matters until its entries have been covered once.
 _PRIORITY = [
     "knn_ivf",
     "knn_rp_lsh",
@@ -35,12 +37,49 @@ _PRIORITY = [
 ]
 
 
+def _visit_status() -> dict[str, tuple[bool, int]]:
+    """Per catalog query: (latest verdict is OK, round of that verdict).
+
+    OK means the driver got a usable result: an oracle-bearing query whose
+    latest row matched (rows + schema + hash, no error), or a rows-only
+    query whose latest sweep produced rows without an exception (the driver
+    records those as ``err: "no_oracle"`` by construction — round-4 verdict
+    item 3: treating that as "not visited" let the 11 rows-only faces pin
+    the first sweep slots forever). Files are merged in PARSED round order
+    (int of the digits after "r"), not lexicographic filename order, so
+    r100 beats r99 and an unpadded r4 still lands between r03 and r05.
+    """
+    runs: list[tuple[int, Path]] = []
+    for run in _HERE.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"_r(\d+)\.json$", run.name)
+        if m:
+            runs.append((int(m.group(1)), run))
+    status: dict[str, tuple[bool, int]] = {}
+    for rnd, run in sorted(runs):
+        try:
+            report = json.loads(run.read_text())
+        except (OSError, ValueError):  # unreadable report → skip it
+            continue
+        for name, row in report.items():
+            oracle_green = bool(
+                row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+            rows_only_clean = (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            status[name] = (oracle_green or rows_only_clean, rnd)
+    return status
+
+
 def _sweep_order() -> list[str]:
-    """Catalog names, queries WITHOUT a green driver verdict first.
+    """Catalog names, queries WITHOUT a usable driver verdict first.
 
     Round 1 showed the driver's sweep can stop early (it covered exactly the
     first 50 registrations), so ordering decides verification coverage. The
-    green set accumulates across EVERY correctness file — reading only the
+    visited set accumulates across EVERY correctness file — reading only the
     latest made successive truncated sweeps ping-pong between the same two
     query sets (round-3 verdict item 1) and never reach the tail — but a
     query's LATEST verdict wins: one that regressed after an earlier green
@@ -48,25 +87,17 @@ def _sweep_order() -> list[str]:
     a plain union. Within the unverified group: judge-named starved queries
     (_PRIORITY) first, then the remaining unverified in registration order
     with rows-only queries interleaved (one per three oracle-bearing)
-    rather than banished to the end; green queries close the list.
+    rather than banished to the end. Visited queries close the list sorted
+    by the ROUND of their standing verdict, oldest first — the freed slots
+    become regression canaries that re-verify the stalest greens each round
+    instead of re-running the same recent ones (round-4 verdict item 3).
     """
-    status: dict[str, bool] = {}
-    for run in sorted(_HERE.glob("CORRECTNESS_r*.json")):
-        try:
-            report = json.loads(run.read_text())
-        except (OSError, ValueError):  # unreadable report → skip it
-            continue
-        for name, row in report.items():
-            status[name] = bool(
-                row.get("rows_match")
-                and row.get("schema_match", True)
-                and row.get("hash_match", True)
-                and not row.get("err")
-            )
-    green = {name for name, ok in status.items() if ok}
+    status = _visit_status()
+    visited = {name for name, (ok, _) in status.items() if ok}
     names = list(CATALOG)
-    pri = [n for n in _PRIORITY if n in CATALOG and n not in green]
-    rest = [n for n in names if n not in green and n not in pri]
+    reg_idx = {n: i for i, n in enumerate(names)}
+    pri = [n for n in _PRIORITY if n in CATALOG and n not in visited]
+    rest = [n for n in names if n not in visited and n not in pri]
     rest_oracle = [n for n in rest if CATALOG[n].oracle is not None]
     rest_rows_only = [n for n in rest if CATALOG[n].oracle is None]
     interleaved: list[str] = []
@@ -78,7 +109,11 @@ def _sweep_order() -> list[str]:
             if nxt is not None:
                 interleaved.append(nxt)
     interleaved.extend(rows_iter)
-    return pri + interleaved + [n for n in names if n in green]
+    tail = sorted(
+        (n for n in names if n in visited),
+        key=lambda n: (status[n][1], reg_idx[n]),
+    )
+    return pri + interleaved + tail
 
 
 def entry(spark: SparkSession) -> DataFrame:

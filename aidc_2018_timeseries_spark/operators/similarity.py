@@ -279,7 +279,7 @@ def embedding_lsh_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.35,
     n_tables: int = 8,
-    n_bits: int = 4,
+    n_bits: int | None = None,
     seed: int = 7,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -294,13 +294,20 @@ def embedding_lsh_dup_pairs(
     never self-joined all-pairs — only bucket keys shuffle, and n_bits
     scales the bucket count with the corpus (it MUST: fixed bits means
     per-bucket population ∝ n and candidates quadratic — measured 15s→300s
-    over one decade with n_bits=4, SCALING.md round-4 audit). Precision is
-    exact (rescore); recall < 1 by design and is pinned against the
-    brute-force baseline in tests/test_similarity.py. ``arrow=True``
-    computes signatures as a batched GEMM (the scale path); the default
-    expression form stays bit-reproducible for the DuckDB oracle.
+    over one decade with n_bits=4, SCALING.md round-4 audit). For exactly
+    that reason the DEFAULT is corpus-derived: ``n_bits=None`` counts the
+    corpus once and picks bits via ``scaled_n_bits`` (~64 vectors/bucket);
+    pinning an explicit n_bits is the opt-in for oracle baselines whose
+    plane constants must be inlineable into a static SQL string
+    (plans/dedup_queries.py: dedup_embedding_lsh). Precision is exact
+    (rescore); recall < 1 by design and is pinned against the brute-force
+    baseline in tests/test_similarity.py. ``arrow=True`` computes
+    signatures as a batched GEMM (the scale path); the default expression
+    form stays bit-reproducible for the DuckDB oracle.
     Output: (id_a, id_b, sim), id_a < id_b.
     """
+    if n_bits is None:
+        n_bits = scaled_n_bits(vectors.count())
     planes = hyperplane_rows(dim, n_tables, n_bits, seed)
     sig_fn = lsh_signatures_arrow if arrow else lsh_signatures
     sig = sig_fn(vectors, planes, id_col, vec_col)
@@ -351,6 +358,7 @@ def lsh_signatures_arrow(
     import numpy as np
     import pandas as pd
 
+    id_t = vectors.schema[id_col].dataType.simpleString()
     per_table: dict[int, list[tuple[int, list[float]]]] = {}
     for t, b, plane in planes:
         per_table.setdefault(t, []).append((b, plane))
@@ -387,7 +395,7 @@ def lsh_signatures_arrow(
             )
 
     return vectors.select(id_col, vec_col).mapInPandas(
-        gen, schema=f"{id_col} long, table_id int, bucket long"
+        gen, schema=f"{id_col} {id_t}, table_id int, bucket long"
     )
 
 

@@ -163,12 +163,25 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="approximate percentiles per event type (percentile_approx "
     "sketch -- the mergeable, bounded-memory scale path next to the "
     "exact interpolated face agg_value_percentiles; closeness to exact "
-    "pinned in tests/test_agg_sketches.py)",
+    "pinned in tests/test_agg_sketches.py). Output is posexploded to "
+    "scalar (event_type, pct, approx_value) rows: the driver's "
+    "canonicalizer sorts rows via pandas and cannot hash array<double> "
+    "cells (round-4 verdict item 1), and scalar rows are also the "
+    "joinable shape for sketch-vs-exact comparisons downstream",
 )
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
+    pcts = [0.5, 0.95, 0.99]
+    agged = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", pcts, 10000).alias("approx_pcts")
+    )
+    return agged.select(
+        "event_type",
+        F.posexplode("approx_pcts").alias("pos", "approx_value"),
+    ).select(
+        "event_type",
+        F.element_at(F.array(*[F.lit(p) for p in pcts]), F.col("pos") + 1).alias("pct"),
+        "approx_value",
     )
 
 

@@ -45,27 +45,27 @@ def test_approx_percentiles_face_close_to_exact(spark):
     from tests.conftest import SF_DIR
 
     load_all()
-    approx = {
-        r["event_type"]: r["approx_pcts"]
-        for r in CATALOG["agg_approx_percentiles"].spark_fn(spark, SF_DIR).collect()
-    }
+    # scalar (event_type, pct, approx_value) rows — the face posexplodes
+    # its sketch array so the driver canonicalizer can sort/hash the cells
+    rows = CATALOG["agg_approx_percentiles"].spark_fn(spark, SF_DIR).collect()
+    approx = {(r["event_type"], r["pct"]): r["approx_value"] for r in rows}
+    pcts = [0.5, 0.95, 0.99]
     ev = load_table(spark, SF_DIR, "events")
     # reference: the same order-statistic semantics at maximum accuracy
     # (rank error 0) — comparing against the INTERPOLATED percentile would
     # conflate sketch error with data-point-vs-interpolation distance,
     # which dominates on sparse group tails
     exact = {
-        r["event_type"]: r["ex"]
+        (r["event_type"], p): x
         for r in ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 2147483647).alias("ex")
-        )
+        .agg(F.percentile_approx("value", pcts, 2147483647).alias("ex"))
         .collect()
+        for p, x in zip(pcts, r["ex"])
     }
     assert set(approx) == set(exact)
-    for et in approx:
-        for a, x in zip(approx[et], exact[et]):
-            assert abs(a - x) <= max(0.02 * abs(x), 0.5), (et, a, x)
+    for key, a in approx.items():
+        x = exact[key]
+        assert abs(a - x) <= max(0.02 * abs(x), 0.5), (key, a, x)
 
 
 def test_hll_rollup_merge_lossless_and_bounded(spark):

@@ -2,8 +2,11 @@
 ~50 catalog queries per round, so ordering IS verification coverage.
 Round 3 lost an entire round to a bug here (green set read from only the
 latest CORRECTNESS file, so truncated sweeps ping-ponged between two query
-sets and never reached the tail); these tests pin the fixed semantics
-against the real repo correctness files plus synthetic ones.
+sets and never reached the tail); round 4's verdict added two more pinned
+semantics: a clean rows-only run counts as VISITED (err=="no_oracle" rows
+were re-occupying the first sweep slots forever), and visited queries are
+re-verified OLDEST verdict first (regression canaries). These tests pin
+all of it against the real repo correctness files plus synthetic ones.
 """
 
 from __future__ import annotations
@@ -13,19 +16,28 @@ import json
 import __spark_entry__ as entry
 from aidc_2018_timeseries_spark.plans.catalog import CATALOG
 
+OK = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+BAD = {"rows_match": False, "schema_match": True, "hash_match": False, "err": None}
+ROWS_ONLY = {
+    "rows_match": None,
+    "schema_match": None,
+    "hash_match": None,
+    "spark_rows": 25,
+    "oracle_rows": None,
+    "err": "no_oracle",
+}
+ROWS_ONLY_CRASH = {
+    "rows_match": None,
+    "schema_match": None,
+    "hash_match": None,
+    "spark_rows": None,
+    "oracle_rows": None,
+    "err": "TypeError: unhashable type: 'numpy.ndarray'",
+}
 
-def _green_union() -> set[str]:
-    status: dict[str, bool] = {}
-    for p in sorted(entry._HERE.glob("CORRECTNESS_r*.json")):
-        rep = json.loads(p.read_text())
-        for n, r in rep.items():
-            status[n] = bool(
-                r.get("rows_match")
-                and r.get("schema_match", True)
-                and r.get("hash_match", True)
-                and not r.get("err")
-            )
-    return {n for n, ok in status.items() if ok}
+
+def _visited_union() -> set[str]:
+    return {n for n, (ok, _) in entry._visit_status().items() if ok}
 
 
 def test_order_is_a_permutation_of_the_catalog():
@@ -34,18 +46,18 @@ def test_order_is_a_permutation_of_the_catalog():
     assert len(order) == len(set(order))
 
 
-def test_greens_union_across_all_rounds_and_sort_last():
-    """The core round-3 fix: a query green in ANY prior round must sit
-    after every never-checked query, so a truncated sweep spends its slots
-    on new coverage."""
+def test_visited_union_across_all_rounds_and_sort_last():
+    """The core round-3 fix: a query with a usable verdict in ANY prior
+    round must sit after every never-checked query, so a truncated sweep
+    spends its slots on new coverage."""
     order = entry._sweep_order()
-    green = _green_union() & set(CATALOG)
-    if not green or green == set(CATALOG):
+    visited = _visited_union() & set(CATALOG)
+    if not visited or visited == set(CATALOG):
         return  # degenerate repo state; nothing to order
-    last_unchecked = max(i for i, n in enumerate(order) if n not in green)
-    first_green = min(i for i, n in enumerate(order) if n in green)
-    assert last_unchecked < first_green, (
-        "a cumulative-green query was ordered before a never-checked one"
+    last_unchecked = max(i for i, n in enumerate(order) if n not in visited)
+    first_visited = min(i for i, n in enumerate(order) if n in visited)
+    assert last_unchecked < first_visited, (
+        "a cumulative-visited query was ordered before a never-checked one"
     )
 
 
@@ -53,8 +65,8 @@ def test_unchecked_rows_only_queries_are_not_banished_to_the_end():
     """Rows-only queries interleave into the unverified block (they starved
     for three rounds when always ordered last)."""
     order = entry._sweep_order()
-    green = _green_union() & set(CATALOG)
-    unchecked = [n for n in order if n not in green]
+    visited = _visited_union() & set(CATALOG)
+    unchecked = [n for n in order if n not in visited]
     rows_only = [n for n in unchecked if CATALOG[n].oracle is None]
     oracle = [n for n in unchecked if CATALOG[n].oracle is not None]
     if len(rows_only) < 2 or len(oracle) < 4:
@@ -70,16 +82,91 @@ def test_latest_verdict_wins_over_earlier_green(tmp_path, monkeypatch):
     must re-enter the unverified front, not stay hidden at the tail (a
     plain union over rounds would hide the regression forever)."""
     regressed, still_green = sorted(CATALOG)[:2]
-    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
-    bad = {"rows_match": False, "schema_match": True, "hash_match": False, "err": None}
     (tmp_path / "CORRECTNESS_r01.json").write_text(
-        json.dumps({regressed: ok, still_green: ok})
+        json.dumps({regressed: OK, still_green: OK})
     )
-    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({regressed: bad}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({regressed: BAD}))
     monkeypatch.setattr(entry, "_HERE", tmp_path)
     order = entry._sweep_order()
     assert order.index(regressed) < order.index(still_green)
-    assert order.index(still_green) == len(order) - 1  # sole green → tail
+    assert order.index(still_green) == len(order) - 1  # sole visited → tail
+
+
+def test_clean_rows_only_run_counts_as_visited(tmp_path, monkeypatch):
+    """Round-4 verdict item 3: a rows-only query whose sweep produced rows
+    (err=='no_oracle', spark_rows recorded) is VISITED and moves to the
+    tail; one that crashed (a real exception in err) stays in the front.
+    Without this, the 11 permanently-no-oracle faces re-occupy the first
+    sweep slots every round forever."""
+    names = sorted(CATALOG)
+    clean, crashed = names[0], names[1]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({clean: ROWS_ONLY, crashed: ROWS_ONLY_CRASH})
+    )
+    monkeypatch.setattr(entry, "_HERE", tmp_path)
+    order = entry._sweep_order()
+    assert order.index(clean) == len(order) - 1  # sole visited → tail
+    assert order.index(crashed) < len(order) - 1  # crash → still unverified
+
+
+def test_priority_entries_prune_once_rows_are_produced(tmp_path, monkeypatch):
+    """ADVICE r4: _PRIORITY names are all rows-only faces that can never go
+    oracle-green, so a clean rows-only run must prune them from the front."""
+    covered = entry._PRIORITY[0]
+    starved = entry._PRIORITY[1]
+    assert covered in CATALOG and starved in CATALOG
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({covered: ROWS_ONLY}))
+    monkeypatch.setattr(entry, "_HERE", tmp_path)
+    order = entry._sweep_order()
+    assert order[0] == starved  # still-unvisited priority leads
+    assert order.index(covered) > order.index(starved)
+
+
+def test_visited_tail_re_verifies_oldest_verdicts_first(tmp_path, monkeypatch):
+    """Regression canary: within the visited tail, the query whose standing
+    verdict is OLDEST comes first, so rotating sweep slots re-check stale
+    greens before recently-confirmed ones."""
+    old_green, new_green, newer_rows_only = sorted(CATALOG)[:3]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({old_green: OK}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({new_green: OK}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({newer_rows_only: ROWS_ONLY})
+    )
+    monkeypatch.setattr(entry, "_HERE", tmp_path)
+    order = entry._sweep_order()
+    assert order[-3:] == [old_green, new_green, newer_rows_only]
+
+
+def test_round_files_merge_in_numeric_not_lexicographic_order(
+    tmp_path, monkeypatch
+):
+    """ADVICE r4: 'latest verdict wins' must survive r100 (sorts before r99
+    lexicographically) and an unpadded r4 (sorts after r04..r39)."""
+    q = sorted(CATALOG)[0]
+    # numerically r4 < r99 < r100; lexicographically r100 < r4 < r99
+    (tmp_path / "CORRECTNESS_r4.json").write_text(json.dumps({q: OK}))
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps({q: OK}))
+    (tmp_path / "CORRECTNESS_r100.json").write_text(json.dumps({q: BAD}))
+    monkeypatch.setattr(entry, "_HERE", tmp_path)
+    status = entry._visit_status()
+    assert status[q] == (False, 100)  # r100's regression is the latest word
+    order = entry._sweep_order()
+    assert order.index(q) < len(order) - 1  # regressed → unverified front
+
+
+def test_simulated_r5_order_rechecks_oldest_greens():
+    """Against the REAL repo correctness files: after the unvisited front,
+    the first visited entries must be round-1 greens, not round-4 ones
+    (the whole point of the canary rotation)."""
+    status = entry._visit_status()
+    order = entry._sweep_order()
+    visited_tail = [n for n in order if n in status and status[n][0]]
+    if len(visited_tail) < 2:
+        return
+    rounds = [status[n][1] for n in visited_tail]
+    assert rounds == sorted(rounds), "visited tail not oldest-verdict-first"
+    # and the repo really does have multi-round history to rotate through
+    assert rounds[0] < rounds[-1]
 
 
 def test_queries_and_oracle_sql_follow_the_same_order():
