@@ -57,4 +57,5 @@ def load_all() -> None:
         streaming_queries,
         agg_queries,
         cmapss_queries,
+        sink_queries,
     )

@@ -7,10 +7,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from aidc_2018_timeseries_spark.operators.multimodal import (
     attach_binary_payload,
     binary_metadata,
     decode_images,
+    extract_audio_features,
 )
 from aidc_2018_timeseries_spark.plans.catalog import register
 from aidc_2018_timeseries_spark.sources.tables import load_table
@@ -46,3 +49,23 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kernel pinned to the deterministic fake: testdata payloads are utf8
     # text, which a real codec would (rightly) reject
     return decode_images(attach_binary_payload(d, "text"), kernel=_fake_decode)
+
+
+@register(
+    "multimodal_audio_frames",
+    None,  # Python-side frame chopping + RMS → rows-only check; the
+    # row-expansion invariant (ceil(n_bytes/64) frames per doc) and the
+    # per-frame RMS formula are pinned in tests/test_ml_and_multimodal.py
+    doc="audio feature-extraction plumbing (mapInPandas, ROW-EXPANDING: one "
+    "payload → N fixed-byte frames, each with its RMS energy) — the audio "
+    "sibling of multimodal_decode_stub, completing the driver-visible "
+    "multimodal family. A real PCM decoder (soundfile/librosa) would slot "
+    "behind the same iterator signature; the testdata payload is utf8 "
+    "bytes, so the RMS runs over raw bytes deterministically",
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    frames = extract_audio_features(attach_binary_payload(d, "text"))
+    return frames.select(
+        "doc_id", "frame_idx", F.round("rms", 6).alias("rms")
+    )

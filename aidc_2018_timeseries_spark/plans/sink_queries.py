@@ -1,0 +1,75 @@
+"""Catalog queries: sink round-trips (SURVEY §2.1 S7-S8).
+
+The reference's sinks are driver-side JSON metric dumps and model
+checkpoints (reference training/timeseries_trainer.py:114-118); the
+engine-side analogue is a partitioned columnar write of a derived dataset
+that later stages read back with partition pruning. This face makes the
+write path driver-checkable: the one §2.1 row that previously only had
+pytest coverage (round-4 verdict, "What's missing" item 3).
+
+The oracle ignores the filesystem hop entirely — parquet round-trips
+doubles and bigints losslessly, so write → read-back → aggregate must
+equal the same aggregate computed directly. That equality (checked by the
+driver's value hash) IS the sink correctness statement.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.plans.catalog import register
+from aidc_2018_timeseries_spark.sources.sinks import write_partitioned
+from aidc_2018_timeseries_spark.sources.tables import load_table
+
+
+@register(
+    "sink_roundtrip_partitioned",
+    """
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 6) AS sum_value
+      FROM events GROUP BY event_type, user_id)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           ROUND(SUM(sum_value), 4) AS total_value
+    FROM per_user
+    WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+    """,
+    doc="S7/S8 sink round-trip: per-(type, user) aggregates written as "
+    "parquet PARTITIONED BY event_type (the downstream filter key), read "
+    "back with a partition-pruned filter, re-aggregated. The oracle "
+    "computes the same numbers with no filesystem hop — matching hashes "
+    "prove the sink is lossless and the read-back path (including "
+    "partition-column reconstruction from directory names) is correct. "
+    "At 100 TB: writers scale with input partitions (no driver funnel) "
+    "and the read prunes to 2 of N type directories before any IO. Inner "
+    "sums are rounded at 6 dp on both sides (repo float convention); the "
+    "outer re-sum of those exact rounded values rounds at 4 dp so "
+    "summation-order ulp noise cannot flip the value hash.",
+)
+def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    # tempdir is intentionally NOT deleted here: the returned DataFrame
+    # reads it lazily, and the driver collects after this function returns
+    path = tempfile.mkdtemp(prefix="aidc_sink_roundtrip_")
+    write_partitioned(per_user, path, partition_by=["event_type"])
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 4).alias("total_value"),
+        )
+    )

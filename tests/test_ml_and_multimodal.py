@@ -177,3 +177,30 @@ def test_pil_decode_resize(spark):
     for r in resized:
         assert (r["width"], r["height"]) == (8, 4)
         assert len(r["resized"]) == 8 * 4 * 3  # raw RGB bytes at target size
+
+
+def test_audio_frames_face_matches_operator(spark):
+    """The catalog face is the operator plus ROUND(rms, 6): same row set,
+    scalar driver-canonicalizable schema."""
+    from aidc_2018_timeseries_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_audio_features,
+    )
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+
+    load_all()
+    face = CATALOG["multimodal_audio_frames"].spark_fn(spark, SF_DIR)
+    assert face.schema.simpleString() == (
+        "struct<doc_id:bigint,frame_idx:int,rms:double>"
+    )
+    got = sorted(map(tuple, face.collect()))
+    docs = load_table(spark, SF_DIR, "documents")
+    want = sorted(
+        map(
+            tuple,
+            extract_audio_features(attach_binary_payload(docs, "text"))
+            .select("doc_id", "frame_idx", F.round("rms", 6).alias("rms"))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > len(set(r[0] for r in got))  # row-expanding

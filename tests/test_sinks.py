@@ -207,3 +207,52 @@ def test_observe_quality_rides_the_main_action(spark):
     exact = ev.agg(F.min("value"), F.max("value")).first()
     assert (m["v_min"], m["v_max"]) == tuple(exact)
     assert 0 < n_out < m["n_rows"]
+
+
+def test_sink_roundtrip_face_matches_direct_aggregate(spark):
+    """The catalog face's write → read-back → aggregate must equal the same
+    aggregate computed with no filesystem hop (parquet is lossless for
+    bigint/double) — the driver checks the identical statement vs DuckDB."""
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+
+    load_all()
+    got = sorted(
+        map(tuple, CATALOG["sink_roundtrip_partitioned"].spark_fn(spark, SF_DIR).collect())
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            per_user.where(F.col("event_type").isin("click", "view"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("n_events").alias("n_events"),
+                F.round(F.sum("sum_value"), 4).alias("total_value"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 2
+
+
+def test_sink_roundtrip_face_read_back_is_partition_pruned(spark):
+    """The face's read-back filter must reach the scan as a PartitionFilter
+    (the whole point of partitioning by the downstream filter key)."""
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+
+    load_all()
+    df = CATALOG["sink_roundtrip_partitioned"].spark_fn(spark, SF_DIR)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and any("event_type" in l for l in pf_lines), plan
