@@ -234,6 +234,19 @@ def remove_stopwords(text: Column | str, stopwords: list[str] | None = None) -> 
 #: restrict to the RE2 ∩ Java-regex dialect (char classes, bounded
 #: quantifiers, \b — no backrefs, no lookaround) so the SAME string runs
 #: in Spark (Java) and the DuckDB oracle (RE2) with identical semantics.
+#:
+#: Precision/recall tradeoff — these are CURATION-grade, recall-leaning
+#: scrubbers, NOT a compliance-grade PII system (r4 advice item 4):
+#: - ipv4 accepts octets up to 999 (validating 0-255 needs alternation
+#:   that bloats the shared-dialect pattern for no curation benefit);
+#: - phone matches any '+digit' run of 9+ digits/dashes/spaces, which
+#:   over-matches ID-number-shaped strings — intentional: for training
+#:   corpora, redacting a stray ID number costs nothing, leaking a phone
+#:   number does;
+#: - email misses RFC-5321 quoted local parts ("j doe"@x.com) and
+#:   IP-literal domains — vanishingly rare in web text.
+#: A deployment needing entity-level precision should layer a validating
+#: second pass (e.g. octet range check, libphonenumber) over these spans.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),

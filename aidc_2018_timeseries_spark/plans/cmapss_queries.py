@@ -46,7 +46,13 @@ WITH raw AS (
   SELECT * FROM read_csv('{_DATA}', delim=' ', header=false, auto_detect=false,
                          null_padding=true, columns={{{_DUCK_COLS}}})),
 filled AS (
-  SELECT trajectory_id, t, setting_1,
+  -- backfill EVERY emitted feature column, exactly like the Spark reader
+  -- (read_cmapss bfills all 24 feature columns): the oracle must not
+  -- depend on WHERE the fixture's null holes happen to sit — a
+  -- regenerated fixture with a hole in setting_1 must stay green (r4
+  -- advice item 2)
+  SELECT trajectory_id, t,
+         FIRST_VALUE(setting_1 IGNORE NULLS) OVER w AS setting_1,
          FIRST_VALUE(sensor_2 IGNORE NULLS) OVER w AS s2f,
          FIRST_VALUE(sensor_7 IGNORE NULLS) OVER w AS s7f,
          MAX(t) OVER (PARTITION BY trajectory_id) AS max_t
