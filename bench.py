@@ -68,18 +68,25 @@ def main() -> None:
     # min-of-2 warm runs per query: single runs on this container swing
     # ±30-50% (measured across rounds on byte-identical plans), so one
     # repeat is the cheapest way to keep the recorded number meaningful.
+    # The FIRST run of each pair is also recorded verbatim — that is
+    # exactly the r1-r3 single-run protocol, so every bench emits its own
+    # cross-protocol conversion anchor (round-4 verdict item 6).
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = CATALOG[name].spark_fn
         dt = float("inf")
-        for _ in range(2):
+        for i in range(2):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
-            dt = min(dt, round(time.perf_counter() - t0, 3))
+            run = round(time.perf_counter() - t0, 3)
+            if i == 0:
+                first_run[name] = run
+            dt = min(dt, run)
         timings[name] = dt
         total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s (first run {first_run[name]:.3f}s)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -89,6 +96,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_single_run": first_run,
                 "protocol": "min_of_2_warm",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
