@@ -303,3 +303,61 @@ def greedy_pack(
         df.select(group_col, id_col, n_tok.cast("long").alias("n_tokens"), *extra_cols)
         .withColumn("pack_id", F.floor(before / budget).cast("long"))
     )
+
+
+def boilerplate_fraction(
+    df,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_docs: int = 10,
+):
+    """Template/boilerplate detection (the cross-document sibling of the
+    intra-document repetition signals): per document, the fraction of its
+    DISTINCT word n-gram shingles that are corpus-frequent — i.e. appear
+    in at least ``min_docs`` documents. Near-template pages (navigation
+    chrome, license banners, mirrored FAQ text) score high and get
+    down-weighted or dropped by curation pipelines (the cross-doc filter
+    family of CCNet/RefinedWeb, restated over shingles because this
+    corpus has no line structure).
+
+    Returns (id, n_shingles, n_frequent, boilerplate_frac); documents too
+    short to shingle surface with zeros rather than vanishing.
+
+    Scale shape: shingle_hashes is scan-local; the doc-frequency count
+    shuffles only (shingle → count) partials; the frequent-shingle set is
+    then SMALL by construction (only shingles hit by ≥ min_docs docs — at
+    100 TB these are the heavy hitters, bounded far below the corpus) so
+    it broadcasts, and the per-doc membership count is a map-side
+    broadcast semi join + one groupBy(doc). Nothing is ever all-pairs.
+    The fraction is one exact-integer division, emitted UNROUNDED (same
+    rationale as ngram-jaccard: bit-deterministic cross-engine, while
+    ROUND can flip on exactly-terminating ratios).
+    """
+    ids = df.select(F.col(id_col))
+    sh = df.select(
+        F.col(id_col), F.explode(shingle_hashes(F.col(text_col), n=shingle_n)).alias("sh")
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    frequent = dfreq.filter(F.col("df") >= min_docs).select("sh")
+    per_doc = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_freq = (
+        sh.join(F.broadcast(frequent), "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_frequent"))
+    )
+    joined = (
+        ids.join(per_doc, id_col, "left")
+        .join(n_freq, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_frequent", F.lit(0)).cast("long").alias("n_frequent"),
+        )
+    )
+    frac = F.when(
+        F.col("n_shingles") == 0, F.lit(0.0)
+    ).otherwise(F.col("n_frequent").cast("double") / F.col("n_shingles"))
+    return joined.select(
+        id_col, "n_shingles", "n_frequent", frac.alias("boilerplate_frac")
+    )

@@ -391,3 +391,97 @@ def dedup_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_LSH_DIM,
         arrow=True,
     )
+
+
+# --- canonical selection policy: keep the BEST doc per duplicate cluster ---
+def _keep_best_oracle() -> str:
+    """Recursive-CTE closure over the MinHash pairs (as dedup_clusters_cc)
+    plus the quality score (as llm_corpus_pipeline), then an argmax window
+    per component: rank by (quality desc, doc_id asc). No-shingle docs
+    pass through as their own singleton component."""
+    from aidc_2018_timeseries_spark.operators.text import LANG_STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    quality = (
+        "ROUND(0.4 * LEAST(n_stop / n * 5.0, 1.0) + 0.3 * (n_distinct / n) "
+        "+ 0.3 * (LEAST(n, 200.0) / 200.0), 6)"
+    )
+    return f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM sh
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+    comp AS (SELECT node AS doc_id, MIN(root) AS component_id
+             FROM reach GROUP BY node),
+    allcomp AS (
+      SELECT doc_id, component_id FROM comp
+      UNION ALL
+      SELECT d.doc_id, d.doc_id AS component_id
+      FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+      WHERE sh.doc_id IS NULL),
+    feat AS (SELECT doc_id,
+                    CAST(len(toks) AS DOUBLE) AS n,
+                    CAST(len(list_filter(toks, x -> x IN ({stop}))) AS DOUBLE)
+                      AS n_stop,
+                    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct
+             FROM t),
+    q AS (SELECT doc_id, {quality} AS quality FROM feat),
+    ranked AS (
+      SELECT c.doc_id, c.component_id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+      FROM allcomp c JOIN q USING (doc_id))
+    SELECT doc_id, component_id, quality,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM ranked
+    """
+
+
+@register(
+    "dedup_keep_best_quality",
+    _keep_best_oracle(),
+    doc="canonical SELECTION POLICY for duplicate clusters: real pipelines "
+    "keep the best document per near-dup cluster, not the min-id one — "
+    "cluster via MinHash pairs + connected components (the verified "
+    "leaves), then per component keep = argmax(quality, tie min doc_id). "
+    "No-shingle docs are their own singletons. The argmax window runs "
+    "over the component-labeled relation (one shuffle on component_id, "
+    "already the CC output partitioning); quality rounds at 6 dp BEFORE "
+    "ranking so the cross-engine order is deterministic",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from aidc_2018_timeseries_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=_SHINGLE_N
+    )
+    nodes = d.select("doc_id").where(
+        F.size(shingle_hashes(F.col("text"), n=_SHINGLE_N)) > 0
+    )
+    comp = connected_components(
+        nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
+    singles = d.join(nodes, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    )
+    allcomp = comp.unionByName(singles)
+    q = d.select("doc_id", F.round(tx.quality_score("text"), 6).alias("quality"))
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        allcomp.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component_id",
+            "quality",
+            F.when(F.col("rn") == 1, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
+        )
+    )

@@ -515,3 +515,54 @@ def text_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+# --- cross-document boilerplate / template detection ---
+_BP_N = 3
+_BP_MIN_DOCS = 4
+# same md5-derived 30-bit shingle construction as the dedup oracles (one
+# Python source of truth: operators/text.shingle_hashes)
+_BP_SHINGLES = (
+    f"list_transform(range(1, len(toks) - {_BP_N} + 2), "
+    f"i -> array_to_string(list_slice(toks, i, i + {_BP_N} - 1), ' '))"
+)
+_BP_SH30 = (
+    f"list_distinct(list_transform({_BP_SHINGLES}, "
+    f"s -> {hash64_sql('s')} % 1073741824))"
+)
+
+
+@register(
+    "text_boilerplate_fraction",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_BP_SH30}) AS sh FROM t),
+    dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+    freq AS (SELECT sh FROM dfreq WHERE df >= {_BP_MIN_DOCS}),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    nf AS (SELECT s.doc_id, COUNT(*) AS n_frequent
+           FROM sh s JOIN freq USING (sh) GROUP BY s.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(nf.n_frequent, 0) AS BIGINT) AS n_frequent,
+           CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(nf.n_frequent, 0) AS DOUBLE) / p.n_shingles
+           END AS boilerplate_frac
+    FROM documents d
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN nf USING (doc_id)
+    """,
+    doc="cross-document boilerplate detection (CCNet/RefinedWeb's cross-"
+    "doc filter family, shingle-based since this corpus is line-less): "
+    "per doc, the fraction of its distinct 3-gram shingles appearing in "
+    f">= {_BP_MIN_DOCS} documents. The frequent-shingle set is heavy-"
+    "hitters-bounded so it broadcasts; only (shingle) count partials "
+    "shuffle — never doc pairs. Fraction emitted unrounded (exact-"
+    "integer division, bit-deterministic; ROUND flips on terminating "
+    "ratios — the ngram-jaccard rationale)",
+)
+def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tx.boilerplate_fraction(
+        d, "doc_id", "text", shingle_n=_BP_N, min_docs=_BP_MIN_DOCS
+    )

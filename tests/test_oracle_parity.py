@@ -102,3 +102,59 @@ def test_every_query_has_rows(spark):
     for name, fn in _QUERIES.items():
         df = fn(spark, SF_DIR)
         assert df.count() >= 0, name
+
+
+def test_boilerplate_fraction_invariants_and_planted_template(spark):
+    """n_frequent <= n_shingles always; planting one doc's text into many
+    synthetic copies must drive the original's boilerplate_frac to 1.0
+    (every one of its shingles becomes corpus-frequent)."""
+    from pyspark.sql import functions as F
+
+    from aidc_2018_timeseries_spark.operators.text import boilerplate_fraction
+    from aidc_2018_timeseries_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = boilerplate_fraction(d, "doc_id", "text", min_docs=4).collect()
+    assert len(out) == d.count()
+    for r in out:
+        assert 0 <= r["n_frequent"] <= r["n_shingles"]
+        assert 0.0 <= r["boilerplate_frac"] <= 1.0
+    # plant: 12 copies of doc 0's text under fresh ids
+    base = d.limit(1).select(F.col("text")).first()["text"]
+    copies = spark.createDataFrame(
+        [(10_000 + i, base) for i in range(12)], ["doc_id", "text"]
+    )
+    planted = d.unionByName(copies)
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_fraction(planted, "doc_id", "text", min_docs=12).collect()
+    }
+    first_id = d.select(F.min("doc_id")).first()[0]
+    r0 = got[first_id]
+    assert r0["n_shingles"] > 0 and r0["boilerplate_frac"] == 1.0, dict(r0.asDict())
+
+
+def test_keep_best_quality_one_keeper_per_cluster(spark):
+    """Exactly one keep=1 per component, and the keeper's quality is the
+    component max (ties broken toward the smaller doc_id)."""
+    from collections import defaultdict
+
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = CATALOG["dedup_keep_best_quality"].spark_fn(spark, SF_DIR).collect()
+    comps = defaultdict(list)
+    for r in rows:
+        comps[r["component_id"]].append(r)
+    assert len(rows) == 500  # full corpus coverage incl. singletons
+    for cid, members in comps.items():
+        keepers = [m for m in members if m["keep"] == 1]
+        assert len(keepers) == 1, (cid, members)
+        k = keepers[0]
+        best_q = max(m["quality"] for m in members)
+        assert k["quality"] == best_q
+        assert k["doc_id"] == min(
+            m["doc_id"] for m in members if m["quality"] == best_q
+        )
