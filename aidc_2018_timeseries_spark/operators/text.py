@@ -361,3 +361,64 @@ def boilerplate_fraction(
     return joined.select(
         id_col, "n_shingles", "n_frequent", frac.alias("boilerplate_frac")
     )
+
+
+def heavy_hitters_mg(
+    df,
+    col: str,
+    k: int = 50,
+    n_counters: int = 200,
+):
+    """Approximate heavy hitters via per-partition Misra-Gries summaries —
+    the BOUNDED-SHUFFLE sibling of the exact vocab scan
+    (plans/text_queries.text_vocab_top_terms).
+
+    Why it exists: the exact top-k shuffles one partial-count row per
+    DISTINCT term per partition — at 100 TB a trillion-token vocabulary
+    tail makes that shuffle volume the bottleneck even though the final
+    top-k is tiny. Misra-Gries caps each partition's contribution at
+    ``n_counters`` rows regardless of vocabulary size: shuffle volume is
+    n_counters × partitions, full stop.
+
+    Guarantee (mergeable-summary bound, summed across partitions): for
+    every term x with true count f(x),
+        f(x) − n/(n_counters+1)  ≤  est(x)  ≤  f(x),
+    so every term with f(x) > n/(n_counters+1) survives SOME partition
+    and any term with f(x) > 2n/(n_counters+1) must land in the global
+    top-k for k ≥ #such terms. Estimates depend on partition layout
+    (summaries are deterministic given a layout, not across layouts) —
+    hence no static SQL oracle; the bound is pinned in pytest.
+
+    Output: exactly min(k, #surviving terms) rows (term, est_count),
+    ordered (est desc, term asc) for a deterministic cut.
+    """
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for x in pdf[col]:
+                if x in counters:
+                    counters[x] += 1
+                elif len(counters) < n_counters:
+                    counters[x] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {col: list(counters.keys()), "mg_count": list(counters.values())}
+            )
+
+    summaries = df.select(col).mapInPandas(mg, schema=f"{col} string, mg_count long")
+    return (
+        summaries.groupBy(col)
+        .agg(F.sum("mg_count").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc(col))
+        .limit(k)
+    )

@@ -175,3 +175,54 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("comp") / F.col("nrm"), 6).alias("comp_n"),
         F.round("nrm", 6).alias("nrm"),
     )
+
+
+@register(
+    "embedding_quantize_error",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 GREATEST(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127
+                   AS scale
+          FROM v),
+    q AS (SELECT vec_id, e, scale,
+                 list_transform(e, x -> round(x / scale)) AS qv
+          FROM s),
+    err AS (SELECT vec_id, e, scale,
+                   list_transform(generate_series(1, len(e)),
+                                  i -> abs(e[i] - qv[i] * scale)) AS el
+            FROM q)
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           ROUND(list_max(el), 6) AS max_abs_err,
+           ROUND(list_sum(list_transform(el, x -> x * x)) / len(e), 6) AS mse
+    FROM err
+    """,
+    doc="int8 symmetric quantization audit (the embedding-store compression "
+    "step at 100 TB: 4x smaller than f32, candidates on dequantized "
+    "values, exact rescore on the float survivors): per vector, the "
+    "shared scale plus measured reconstruction max-error and MSE. "
+    "Quantize -> dequantize -> error is one scan-shaped expression chain "
+    "(no Python, no shuffle); both engines fold the error list "
+    "sequentially so the 6-dp-rounded values hash-match. max_abs_err <= "
+    "scale/2 by construction — pinned in tests/test_similarity.py",
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings")
+    qz = sim.quantize_embeddings(v)
+    err = F.zip_with(
+        F.col("_e"),
+        F.col("qvec"),
+        lambda x, q: F.abs(x - q.cast("double") * F.col("scale")),
+    )
+    e = qz.withColumn("el", err)
+    return e.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(F.array_max("el"), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate("el", F.lit(0.0), lambda acc, x: acc + x * x)
+            / F.size("el"),
+            6,
+        ).alias("mse"),
+    )

@@ -566,3 +566,22 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.boilerplate_fraction(
         d, "doc_id", "text", shingle_n=_BP_N, min_docs=_BP_MIN_DOCS
     )
+
+
+@register(
+    "text_heavy_hitters_mg",
+    None,  # Misra-Gries estimates depend on partition layout (mergeable-
+    # summary bound holds for ANY layout) → rows-only; the deterministic
+    # f(x) − n/(c+1) ≤ est ≤ f(x) guarantee is pinned in
+    # tests/test_oracle_parity.py against the exact counts
+    doc="approximate heavy-hitter vocabulary via per-partition Misra-Gries "
+    "summaries: each partition contributes AT MOST 200 counter rows to "
+    "the shuffle no matter how large its vocabulary — the bounded-"
+    "shuffle sibling of the exact text_vocab_top_terms, which shuffles "
+    "one row per distinct term per partition and makes the trillion-"
+    "token vocab tail the bottleneck at 100 TB",
+)
+def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(F.explode(tx.tokenize(F.col("text"))).alias("term"))
+    return tx.heavy_hitters_mg(terms, "term", k=50, n_counters=200)

@@ -158,3 +158,48 @@ def test_keep_best_quality_one_keeper_per_cluster(spark):
         assert k["doc_id"] == min(
             m["doc_id"] for m in members if m["quality"] == best_q
         )
+
+
+def test_heavy_hitters_mg_bound_vs_exact(spark):
+    """Misra-Gries summed-summary guarantee: f(x) − n/(c+1) ≤ est ≤ f(x)
+    for every reported term, and every term with f > 2n/(c+1) appears."""
+    from pyspark.sql import functions as F
+
+    from aidc_2018_timeseries_spark.operators.text import heavy_hitters_mg, tokenize
+    from aidc_2018_timeseries_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    terms = d.select(F.explode(tokenize(F.col("text"))).alias("term"))
+    n = terms.count()
+    c = 60  # small counter budget so the bound actually bites on this corpus
+    est = {
+        r["term"]: r["est_count"]
+        for r in heavy_hitters_mg(terms, "term", k=50, n_counters=c).collect()
+    }
+    assert est
+    exact = {
+        r["term"]: r["cnt"]
+        for r in terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    slack = n / (c + 1)
+    for t, e in est.items():
+        assert exact[t] - slack <= e <= exact[t], (t, e, exact[t], slack)
+    must_appear = {t for t, f in exact.items() if f > 2 * slack}
+    if len(must_appear) <= 50:
+        missing = must_appear - set(est)
+        assert not missing, missing
+
+
+def test_quantize_error_within_half_scale(spark):
+    """Per-component reconstruction error must respect the construction
+    bound max_abs_err <= scale/2 (+ rounding eps), with mse <= max^2."""
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = CATALOG["embedding_quantize_error"].spark_fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6, dict(r.asDict())
+        assert 0.0 <= r["mse"] <= r["max_abs_err"] ** 2 + 1e-9
