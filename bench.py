@@ -52,6 +52,12 @@ HEADLINE = [
     # (subtract from totals when comparing against BENCH_r01-r03)
     "knn_ivf",
     "knn_rp_lsh",
+    # added round 5 (subtract when comparing against BENCH_r01-r04);
+    # dedup_keep_best_quality is the heaviest face in the catalog — an
+    # iterative-CC composition — so totals jump materially with it in
+    "text_boilerplate_fraction",
+    "embedding_quantize_error",
+    "dedup_keep_best_quality",
 ]
 
 
