@@ -1819,3 +1819,54 @@ def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("nation", "supplier"))
     return spark.sql(_LATERAL_SHARED)
+
+
+# --- malformed-record quarantine (dead-letter accounting at ingest) ---
+@register(
+    "events_json_quarantine",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CASE WHEN event_id % 37 = 0
+                  THEN substr(props, 1, length(props) - 1)
+                  ELSE props END AS js
+      FROM events),
+    p AS (
+      SELECT event_type,
+             CASE WHEN json_valid(js)
+                  THEN CAST(json_extract_string(js, '$.k') AS BIGINT) END AS k,
+             CASE WHEN json_valid(js) THEN 0 ELSE 1 END AS bad
+      FROM c)
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(bad) AS BIGINT) AS n_quarantined,
+           CAST(SUM(k) AS BIGINT) AS sum_k_good
+    FROM p GROUP BY event_type
+    """,
+    doc="dead-letter accounting for semi-structured ingest: rows whose "
+    "JSON fails to parse are QUARANTINED (counted per type, excluded "
+    "from downstream aggregates) instead of failing the job or silently "
+    "nulling — the ingest-robustness pattern every 100 TB pipeline "
+    "needs, since at that scale malformed records are a certainty, not "
+    "an edge case. Corruption is planted deterministically (event_id % "
+    "37 -> closing brace stripped, invalid JSON in both engines); Spark "
+    "detects it via try_parse_json returning NULL, DuckDB via "
+    "json_valid. Scan-shaped parse + one (type) agg shuffle",
+)
+def events_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    js = F.when(
+        F.col("event_id") % 37 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    v = F.try_parse_json(js)
+    parsed = ev.select(
+        "event_type",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.when(v.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("bad"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bad").cast("long").alias("n_quarantined"),
+        F.sum("k").alias("sum_k_good"),
+    )
