@@ -422,3 +422,75 @@ def heavy_hitters_mg(
         .orderBy(F.desc("est_count"), F.asc(col))
         .limit(k)
     )
+
+
+def fim_transform(text: Column | str, doc_id: Column | str) -> Column:
+    """Fill-in-the-middle (FIM) reordering — the code-model training
+    transform (Bavarian et al. 2022): split the token sequence into
+    (prefix, middle, suffix) and emit it PSM-reordered with sentinel
+    tokens, so the model learns to infill. Split points are DETERMINISTIC
+    per document (derived from doc_id, not RNG): the prefix ends at
+    (2+doc_id%3)/10 of the tokens and the middle at (6+doc_id%3)/10, so
+    the corpus gets varied split geometry while both engines — and any
+    re-run — produce identical bytes.
+
+    Returns struct<psm, n_prefix, n_middle, n_suffix>. Scan-local
+    expression: no shuffle, no Python.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    d = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    toks = tokenize(c)
+    n = F.size(toks)
+    lo = (F.lit(2) + d % 3).cast("long")
+    a = F.floor(n * lo / 10).cast("int")
+    b = F.floor(n * (lo + 4) / 10).cast("int")
+    prefix = F.slice(toks, 1, a)
+    middle = F.slice(toks, a + 1, b - a)
+    suffix = F.slice(toks, b + 1, n - b)
+    psm = F.concat_ws(
+        " ",
+        F.lit("<PRE>"),
+        F.array_join(prefix, " "),
+        F.lit("<SUF>"),
+        F.array_join(suffix, " "),
+        F.lit("<MID>"),
+        F.array_join(middle, " "),
+    )
+    return F.struct(
+        psm.alias("psm"),
+        F.size(prefix).cast("long").alias("n_prefix"),
+        F.size(middle).cast("long").alias("n_middle"),
+        F.size(suffix).cast("long").alias("n_suffix"),
+    )
+
+
+def length_bucket_batches(
+    df,
+    id_col: str,
+    text_col: str,
+    batch_size: int = 16,
+):
+    """Sequence-length bucketing for batch assembly: docs are grouped into
+    power-of-two token-length buckets, then batched within each bucket in
+    id order — minimizing the padding waste of batching a 10-token doc
+    with a 500-token one (the dynamic-batching step before training).
+
+    Returns (id, n_tokens, bucket, batch_id). The window runs PER BUCKET
+    (shuffle key = bucket, bounded count: log2 of the max length), and
+    batch_id is a row_number cumsum within the bucket — at 100 TB you'd
+    sub-partition the window key by shard exactly like greedy_pack does
+    with its source column; the bucket assignment itself is scan-local.
+    """
+    from pyspark.sql import Window
+
+    n = token_count(F.col(text_col))
+    bucketed = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.floor(F.log2(F.greatest(n, F.lit(1)))).cast("long").alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    return bucketed.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )

@@ -585,3 +585,65 @@ def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     terms = d.select(F.explode(tx.tokenize(F.col("text"))).alias("term"))
     return tx.heavy_hitters_mg(terms, "term", k=50, n_counters=200)
+
+
+@register(
+    "text_fim_transform",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n,
+                 (2 + doc_id % 3) AS lo
+          FROM t),
+    x AS (SELECT doc_id, toks, n,
+                 CAST(FLOOR(n * lo / 10.0) AS INT) AS a,
+                 CAST(FLOOR(n * (lo + 4) / 10.0) AS INT) AS b
+          FROM s)
+    SELECT doc_id,
+           CONCAT('<PRE> ', array_to_string(toks[1:a], ' '),
+                  ' <SUF> ', array_to_string(toks[b+1:n], ' '),
+                  ' <MID> ', array_to_string(toks[a+1:b], ' ')) AS psm,
+           CAST(a AS BIGINT) AS n_prefix,
+           CAST(b - a AS BIGINT) AS n_middle,
+           CAST(n - b AS BIGINT) AS n_suffix
+    FROM x
+    """,
+    doc="fill-in-the-middle (FIM) reordering for infilling-capable model "
+    "training: per doc, deterministic doc_id-derived split into prefix/"
+    "middle/suffix, emitted PSM-ordered with sentinels. Scan-local "
+    "string surgery, no shuffle; split determinism makes the transform "
+    "reproducible AND oracle-checkable (RNG-based FIM couldn't be)",
+)
+def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fim_transform("text", "doc_id").alias("f")).select(
+        "doc_id",
+        F.col("f.psm").alias("psm"),
+        F.col("f.n_prefix").alias("n_prefix"),
+        F.col("f.n_middle").alias("n_middle"),
+        F.col("f.n_suffix").alias("n_suffix"),
+    )
+
+
+@register(
+    "text_length_bucket_batches",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    b AS (SELECT doc_id, n_tokens,
+                 CAST(FLOOR(LOG2(GREATEST(n_tokens, 1))) AS BIGINT) AS bucket
+          FROM t)
+    SELECT doc_id, n_tokens, bucket,
+           CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id)
+                       - 1) / 16.0) AS BIGINT) AS batch_id
+    FROM b
+    """,
+    doc="sequence-length bucketing for batch assembly (dynamic batching): "
+    "power-of-two token-length buckets, 16-doc batches in id order "
+    "within each — the anti-padding-waste step before training. Bucket "
+    "assignment is scan-local; the one shuffle keys on bucket (count "
+    "bounded by log2 of max length). At 100 TB the window sub-"
+    "partitions by shard like greedy_pack's source column",
+)
+def text_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tx.length_bucket_batches(d, "doc_id", "text", batch_size=16)

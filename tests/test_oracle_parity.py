@@ -203,3 +203,56 @@ def test_quantize_error_within_half_scale(spark):
     for r in rows:
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6, dict(r.asDict())
         assert 0.0 <= r["mse"] <= r["max_abs_err"] ** 2 + 1e-9
+
+
+def test_fim_preserves_tokens_and_split_arithmetic(spark):
+    """FIM must be a pure reordering: prefix+middle+suffix counts sum to
+    the token count, and re-splitting psm at the sentinels recovers the
+    original token sequence (prefix ++ middle ++ suffix)."""
+    from pyspark.sql import functions as F
+
+    from aidc_2018_timeseries_spark.operators.text import tokenize
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+    from aidc_2018_timeseries_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = CATALOG["text_fim_transform"].spark_fn(spark, SF_DIR).collect()
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", tokenize("text").alias("t"))
+        .collect()
+    }
+    assert len(rows) == len(toks)
+    for r in rows:
+        t = toks[r["doc_id"]]
+        assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == len(t)
+        body = r["psm"]
+        assert body.startswith("<PRE> ")
+        pre, rest = body[len("<PRE> "):].split(" <SUF> ", 1)
+        suf, mid = rest.split(" <MID> ", 1)
+        rebuilt = (pre.split() + mid.split() + suf.split())
+        assert rebuilt == t, (r["doc_id"], rebuilt[:5], t[:5])
+
+
+def test_length_buckets_bound_padding_waste(spark):
+    """Within any batch: <= 16 docs and max/min token length < 2 (the
+    power-of-two bucket guarantee that bounds padding waste), min length
+    >= 2^bucket."""
+    from collections import defaultdict
+
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = CATALOG["text_length_bucket_batches"].spark_fn(spark, SF_DIR).collect()
+    batches = defaultdict(list)
+    for r in rows:
+        batches[(r["bucket"], r["batch_id"])].append(r["n_tokens"])
+    assert batches
+    for (bucket, _), lens in batches.items():
+        assert len(lens) <= 16
+        assert min(lens) >= 2**bucket
+        assert max(lens) < 2 ** (bucket + 1)
+        assert max(lens) / min(lens) < 2
