@@ -631,3 +631,59 @@ def sample_fixed_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return fixed_k_per_group(d, "doc_id", "source", k=5, seed=7)
+
+
+# --- snapshot diff between corpus versions (data versioning audit) ---
+@register(
+    "corpus_snapshot_diff",
+    """
+    WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END) AS h
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 11 = 0)
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """,
+    doc="corpus-version snapshot diff (the audit every dataset release "
+    "needs: what changed between v1 and v2?): per doc, added / removed / "
+    "changed / unchanged via a full outer join of CONTENT HASHES — at "
+    "100 TB you diff fixed-width digests co-partitioned on doc_id, never "
+    "shipping document bodies through the join. v2 is synthesized "
+    "deterministically from v1 (every 13th doc deleted, every 7th "
+    "edited, every 11th re-added under a new id) so both engines see "
+    "identical versions",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = d.select("doc_id", F.md5("text").alias("h"))
+    v2_kept = d.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    v2_added = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), F.md5("text").alias("h")
+    )
+    v2 = v2_kept.unionByName(v2_added)
+    j = v1.alias("a").join(v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        status.alias("status"),
+    )
