@@ -58,4 +58,5 @@ def load_all() -> None:
         agg_queries,
         cmapss_queries,
         sink_queries,
+        layout_queries,
     )

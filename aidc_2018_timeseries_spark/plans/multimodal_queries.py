@@ -14,6 +14,7 @@ from aidc_2018_timeseries_spark.operators.multimodal import (
     binary_metadata,
     decode_images,
     extract_audio_features,
+    frame_sample_stub,
 )
 from aidc_2018_timeseries_spark.plans.catalog import register
 from aidc_2018_timeseries_spark.sources.tables import load_table
@@ -69,3 +70,30 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.round("rms", 6).alias("rms")
     )
+
+
+@register(
+    "multimodal_video_framesample",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 100 + 1 AS n_frames
+      FROM documents)
+    SELECT doc_id, CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx
+    FROM v
+    """,
+    doc="video frame-sampling (every 10th frame per clip), the third "
+    "modality next to image decode and audio frames: the sampled frame "
+    "index list is generated JVM-side (sequence + explode — no Python at "
+    "all; a real demuxer like pyav would slot in only at the per-frame "
+    "decode AFTER this row-expansion, behind the same mapInPandas "
+    "signature as decode_images). The fake frame count derives "
+    "deterministically from payload length (len % 100 + 1), so the "
+    "row-expansion arithmetic itself is exact-oracle-checked — at 100 TB "
+    "the expansion is scan-shaped (output rows ∝ frames kept, no shuffle) "
+    "and the frame filter runs BEFORE any byte of video reaches a decoder",
+)
+def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    frames = frame_sample_stub(attach_binary_payload(d, "text"), every_n=10)
+    return frames.select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))

@@ -31,3 +31,32 @@ def write_partitioned(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_by: str,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed external-table sink: pre-hash-partition rows into
+    ``n_buckets`` files per task keyed on ``bucket_by``, sorted within each
+    bucket, registered in the session catalog at an explicit ``path``.
+
+    This is the storage-layout half of a co-located join: two tables
+    bucketed on the same key with the same bucket count join WITHOUT a
+    shuffle — the Exchange that normally dominates a fact-fact join at
+    100 TB is paid once at write time and amortized over every subsequent
+    join/aggregation on that key. Spark requires ``saveAsTable`` (catalog
+    metadata carries the bucket spec; plain ``.parquet()`` writes lose it).
+    """
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_by)
+        .sortBy(bucket_by)
+        .option("path", path)
+        .saveAsTable(table)
+    )
