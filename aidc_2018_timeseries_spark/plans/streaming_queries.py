@@ -56,6 +56,63 @@ def ewma_final_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_final(ev, "user_id", ["t_us", "event_id"], "value", alpha=0.1)
 
 
+_ARRIVAL_H = (
+    "CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('arrival:42:', "
+    "CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "streaming_watermark_late_drops",
+    f"""
+    WITH e AS (
+      SELECT epoch_us(ts) AS t_us,
+             {_ARRIVAL_H} % 20 AS arrival_batch
+      FROM events),
+    pb AS (SELECT arrival_batch, MAX(t_us) AS bmax
+           FROM e GROUP BY arrival_batch),
+    wm AS (SELECT arrival_batch,
+                  MAX(bmax) OVER (ORDER BY arrival_batch
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    - 3600000000 AS watermark_us
+           FROM pb)
+    SELECT e.arrival_batch, wm.watermark_us,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN e.t_us < wm.watermark_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late
+    FROM e JOIN wm USING (arrival_batch)
+    GROUP BY 1, 2
+    """,
+    doc="watermark late-data accounting (the drop ledger of every "
+    "watermarked streaming pipeline): rows are assigned deterministic "
+    "synthetic arrival micro-batches (md5 hash mod 20), and the EXACT "
+    "micro-batch watermark recurrence — wm(b) = max event time over "
+    "batches < b, minus a 1 h delay; a row is late iff its event time is "
+    "strictly below its batch's watermark — is restated as batch "
+    "arithmetic: one tiny per-batch max aggregate, a running max over "
+    "that 20-row relation (never over raw rows), and a broadcast join "
+    "back. First batch's watermark is NULL (nothing seen yet, nothing "
+    "late) exactly like a fresh streaming query. "
+    "tests/test_watermark.py replays the same batches through a REAL "
+    "readStream + withWatermark query one file per trigger and proves "
+    "the engine's per-batch watermark equals this restatement "
+    "batch-for-batch (n_late = what a strict-eviction operator may "
+    "reject; the test also pins that dropDuplicates itself only evicts "
+    "state). All times in the µs domain",
+)
+def streaming_watermark_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.streaming.watermark import (
+        arrival_batches,
+        late_event_accounting,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr("ts div 1000").alias("t_us")
+    )
+    batched = arrival_batches(ev, "event_id", n_batches=20)
+    return late_event_accounting(batched, "t_us", delay_us=3_600_000_000)
+
+
 @register(
     "events_hourly_tumbling",
     """
