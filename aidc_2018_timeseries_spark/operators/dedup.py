@@ -319,3 +319,50 @@ def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
     )
+
+
+def incremental_ingest_verdicts(
+    corpus: DataFrame, arrivals: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Incremental-ingest dedup: classify each ARRIVING doc against the
+    standing corpus — the daily-crawl admission step of a living corpus
+    (only novel content is appended; re-crawls and within-batch copies are
+    refused at the door, so the expensive full-corpus dedup never has to
+    re-run).
+
+    Verdict per arrival:
+    - ``dup_corpus``  — normalized content hash already in the corpus;
+    - ``dup_batch``   — novel vs the corpus but another arrival in the
+      same batch with the same hash has a smaller id (that one wins);
+    - ``ingested``    — novel; this row would be appended.
+
+    Scale shape: both sides reduce to fixed-width digests before any
+    join — the corpus contributes DISTINCT hashes only (one partial-agg
+    shuffle over digests, never bodies), arrivals carry (id, hash). The
+    batch-internal canonical is a window over the arrival batch keyed by
+    hash. At 100 TB the corpus digest set is the thing you MATERIALIZE
+    once (it is exactly ``exact_duplicates``' group keys) and incrementally
+    maintain; with it stored, admission cost is one join of the day's
+    batch against a digest table — independent of corpus body bytes. A
+    bloom/semi-join pushdown on the digest column cuts the corpus-side
+    scan further when the batch is small.
+    """
+    corpus_hashes = (
+        _spread(corpus, id_col)
+        .select(content_hash(text_col).alias("content_hash"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    arr = _spread(arrivals, id_col).select(
+        F.col(id_col), content_hash(text_col).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash")
+    arr = arr.withColumn("batch_min_id", F.min(id_col).over(w))
+    joined = arr.join(corpus_hashes, "content_hash", "left")
+    return joined.select(
+        id_col,
+        F.when(F.col("in_corpus"), F.lit("dup_corpus"))
+        .when(F.col(id_col) != F.col("batch_min_id"), F.lit("dup_batch"))
+        .otherwise(F.lit("ingested"))
+        .alias("verdict"),
+    )

@@ -485,3 +485,54 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == 1, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
         )
     )
+
+
+@register(
+    "dedup_incremental_ingest",
+    f"""
+    WITH arrivals AS (
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, 'fresh ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, 'fresh ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0),
+    ch AS (SELECT doc_id, md5(array_to_string({{toks}}, ' ')) AS h FROM arrivals),
+    corpus AS (SELECT DISTINCT md5(array_to_string({{toks}}, ' ')) AS h FROM documents),
+    m AS (SELECT ch.doc_id, ch.h, corpus.h IS NOT NULL AS in_corpus,
+                 MIN(ch.doc_id) OVER (PARTITION BY ch.h) AS batch_min_id
+          FROM ch LEFT JOIN corpus USING (h))
+    SELECT doc_id,
+           CASE WHEN in_corpus THEN 'dup_corpus'
+                WHEN doc_id <> batch_min_id THEN 'dup_batch'
+                ELSE 'ingested' END AS verdict
+    FROM m
+    """.replace("{toks}", _TOKS),
+    doc="incremental-ingest admission (the daily-crawl step of a living "
+    "corpus): an arriving batch is classified against the standing corpus "
+    "as dup_corpus (content hash already present — a re-crawl), dup_batch "
+    "(novel but a smaller-id twin arrived in the same batch), or ingested. "
+    "The batch is synthesized deterministically from the corpus so every "
+    "verdict is exercised (every 7th doc re-crawled under a new id; every "
+    "11th non-recrawl spawns a fresh doc emitted TWICE). Both sides "
+    "reduce to fixed-width digests before the join — corpus bodies never "
+    "shuffle; at 100 TB the corpus digest set is materialized once and "
+    "incrementally maintained, making daily admission independent of "
+    "corpus body bytes",
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    recrawls = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    fresh_src = d.where((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0)).select(
+        "doc_id", F.concat(F.lit("fresh "), F.col("doc_id").cast("string")).alias("text")
+    )
+    arrivals = recrawls.unionByName(
+        fresh_src.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    ).unionByName(
+        fresh_src.select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    )
+    return dd.incremental_ingest_verdicts(d, arrivals, "doc_id", "text")

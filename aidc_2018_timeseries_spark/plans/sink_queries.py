@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aidc_2018_timeseries_spark.plans.catalog import register
-from aidc_2018_timeseries_spark.sources.sinks import write_partitioned
+from aidc_2018_timeseries_spark.sources.sinks import compact_parquet, write_partitioned
 from aidc_2018_timeseries_spark.sources.tables import load_table
 
 
@@ -72,4 +72,37 @@ def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("n_events"),
             F.round(F.sum("sum_value"), 4).alias("total_value"),
         )
+    )
+
+
+@register(
+    "sink_compact_small_files",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="small-file compaction round-trip (the maintenance job every "
+    "incremental/streaming sink needs): events are first written "
+    "deliberately fragmented (64 round-robin files — a stand-in for "
+    "per-trigger micro-batch output), then compacted to "
+    "ceil(total_bytes/target) evenly-sized files via one distributed "
+    "repartition+rewrite (sizing reads file METADATA only, "
+    "tests/test_sinks.py asserts the file count actually shrinks), and "
+    "the aggregate over the compacted copy must equal the aggregate "
+    "over the raw table — compaction is pure layout, rows are "
+    "untouched. At 100 TB the read side of a compacted sink pays one "
+    "parquet footer per ~128 MB instead of one per micro-batch trigger",
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    frag = tempfile.mkdtemp(prefix="aidc_frag_")
+    compacted = tempfile.mkdtemp(prefix="aidc_compact_")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, compacted, target_bytes=4 * 1024 * 1024)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
     )

@@ -33,6 +33,37 @@ def write_partitioned(
     w.parquet(path)
 
 
+def compact_parquet(
+    spark, src_path: str, dst_path: str, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``ceil(total_bytes / target_bytes)`` files of ~target size.
+
+    The sizing reads FILE METADATA only (a driver-side listing, the same
+    class of bookkeeping a real compactor's planning phase does — no data
+    rows cross the driver); the rewrite itself is one distributed
+    repartition + write. At 100 TB this is the maintenance job that keeps
+    streaming/incremental sinks queryable: thousands of per-trigger
+    files → scan-sized files, so later reads pay one footer+row-group per
+    ~target_bytes instead of per micro-batch. Returns the output file
+    count. Round-robin repartition (not coalesce): coalesce would chain
+    input partitions and skew output sizes; compaction wants even files.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _, files in os.walk(src_path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_path).repartition(n_out).write.mode("overwrite").parquet(
+        dst_path
+    )
+    return n_out
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -256,3 +256,32 @@ def test_sink_roundtrip_face_read_back_is_partition_pruned(spark):
     plan = buf.getvalue()
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf_lines and any("event_type" in l for l in pf_lines), plan
+
+
+def test_compact_parquet_shrinks_file_count_preserves_rows(spark, tmp_path):
+    """compact_parquet must cut the file count to the metadata-derived
+    target and leave the row multiset untouched (compaction = pure layout)."""
+    import os
+
+    from aidc_2018_timeseries_spark.sources.sinks import compact_parquet
+    from aidc_2018_timeseries_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "event_type")
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    ev.repartition(64).write.parquet(frag)
+
+    def n_files(p):
+        return sum(
+            1
+            for root, _, fs in os.walk(p)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+
+    assert n_files(frag) == 64
+    n_out = compact_parquet(spark, frag, out, target_bytes=4 * 1024 * 1024)
+    assert n_files(out) == n_out < 64
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, ev.collect()))
+    assert got == want
