@@ -58,6 +58,11 @@ HEADLINE = [
     "text_boilerplate_fraction",
     "embedding_quantize_error",
     "dedup_keep_best_quality",
+    # added round 5b (subtract when comparing against earlier totals):
+    # the storage-layout and watermark families — bucketed_join's number
+    # INCLUDES writing both bucketed tables (the amortized-write story)
+    "bucketed_join_colocated",
+    "streaming_watermark_late_drops",
 ]
 
 
