@@ -86,6 +86,70 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partitioned_events_with_dim(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Write events PARTITIONED BY event_type (the star-schema fact layout)
+    and build a tiny dimension (event_type → tier) from fixed literals.
+    Split out so tests can plan-audit the raw join for dynamic pruning."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="aidc_dpp_events_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            ("view", "passive"),
+            ("click", "active"),
+            ("purchase", "active"),
+            ("signup", "active"),
+            ("error", "system"),
+        ],
+        "event_type string, tier string",
+    )
+    return fact, dim
+
+
+@register(
+    "layout_dpp_join",
+    """
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e
+    JOIN (VALUES ('view', 'passive'), ('click', 'active'),
+                 ('purchase', 'active'), ('signup', 'active'),
+                 ('error', 'system')) AS d(event_type, tier)
+      ON d.event_type = e.event_type
+    WHERE d.tier = 'active'
+    GROUP BY e.event_type
+    """,
+    doc="dynamic partition pruning (the star-schema scan killer): the fact "
+    "table is written PARTITIONED BY event_type, the dimension filter "
+    "(tier = 'active') arrives only through the join — no literal "
+    "predicate on the fact side — and Spark injects the dim's surviving "
+    "keys into the fact scan as a runtime partition filter "
+    "(dynamicpruningexpression, reusing the broadcast exchange; asserted "
+    "in tests/test_layout_faces.py), so the scan reads 3 of 5 type "
+    "directories without the query ever naming them. At 100 TB this is "
+    "how a dim-filtered fact query touches 1% of the partitions instead "
+    "of all of them. The oracle states the same join over the raw table "
+    "— pruning must be row-invisible",
+)
+def layout_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact, dim = partitioned_events_with_dim(spark, sf_dir)
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .where(F.col("tier") == "active")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def range_clustered_events(spark: SparkSession, sf_dir: str, n_ranges: int = 8) -> DataFrame:
     """Write events range-clustered on user_id (disjoint per-file key
     ranges, sorted within) and return the read-back frame."""

@@ -101,3 +101,21 @@ def test_range_cluster_files_have_disjoint_ranges(spark):
     assert len(spans) > 1, "expected multiple range-partitioned files"
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_dpp_join_prunes_fact_partitions(spark):
+    """The dim-side tier filter must reach the partitioned fact scan as a
+    DYNAMIC partition filter (dynamicpruningexpression) — the query never
+    names the surviving event_types, the runtime does."""
+    from aidc_2018_timeseries_spark.plans.layout_queries import (
+        partitioned_events_with_dim,
+    )
+
+    fact, dim = partitioned_events_with_dim(spark, SF_DIR)
+    joined = (
+        fact.join(F.broadcast(dim), "event_type")
+        .where(F.col("tier") == "active")
+        .select("event_id")
+    )
+    plan = _formatted(joined)
+    assert "dynamicpruningexpression" in plan.lower(), plan
