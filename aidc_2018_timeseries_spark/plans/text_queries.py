@@ -647,3 +647,50 @@ def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return tx.length_bucket_batches(d, "doc_id", "text", batch_size=16)
+
+
+@register(
+    "text_bpe_pair_counts",
+    f"""
+    WITH w AS (SELECT unnest({_TOKS}) AS word FROM documents),
+    vocab AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                                   i -> substr(word, CAST(i AS INT), 2))) AS pair,
+             freq
+      FROM vocab WHERE length(word) >= 2)
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 30
+    """,
+    doc="BPE merge-candidate counting (the inner loop of byte-pair-"
+    "encoding tokenizer training, distributed): adjacent CHARACTER-pair "
+    "frequencies over the corpus, computed the way BPE implementations "
+    "actually do it — aggregate the WORD VOCABULARY first (one corpus-"
+    "wide shuffle to vocab-sized output), then enumerate each DISTINCT "
+    "word's pairs weighted by its frequency. At 100 TB that order of "
+    "operations is the whole game: pair explosion runs over the vocab "
+    "(hundreds of thousands of rows) instead of the corpus (trillions of "
+    "tokens), so every subsequent BPE iteration is vocab-cost. The "
+    "top-30 emits via TakeOrderedAndProject with a (n desc, pair asc) "
+    "total order so the cut is deterministic cross-engine",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tx.tokenize("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.where(F.length("word") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, char_length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(30)
+    )
