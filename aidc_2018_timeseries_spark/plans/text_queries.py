@@ -694,3 +694,28 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(30)
     )
+
+
+@register(
+    "text_bpe_train_merges",
+    None,  # iterative argmax loop — not ANSI-SQL-expressible; determinism
+    # and correctness pinned in tests/test_bpe.py by merge-list equality
+    # with an independent pure-Python reference implementation
+    doc="distributed BPE tokenizer TRAINING (operators/bpe.py): 12 merge "
+    "rounds learned over the corpus, emitted as (rank, left, right). One "
+    "corpus pass builds the word vocabulary; every round after that is "
+    "vocab-cost — pair counts explode the DISTINCT words weighted by "
+    "frequency, the argmax collects ONE row (driver bookkeeping, same "
+    "class as a training loop's loss readout), and the merge applies as "
+    "one boundary-anchored regexp_replace over the vocab column with "
+    "localCheckpoint lineage truncation (the operators/graph.py "
+    "pattern). Ties break (count desc, pair asc) so training is "
+    "deterministic; rows-only because the loop is iterative, with "
+    "merge-list equality vs a pure-Python reference pinned in "
+    "tests/test_bpe.py",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.bpe import train_bpe_merges_df
+
+    d = load_table(spark, sf_dir, "documents")
+    return train_bpe_merges_df(d, "text", n_merges=12)
