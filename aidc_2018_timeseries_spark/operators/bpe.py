@@ -155,3 +155,48 @@ def reference_bpe(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, 
             new_state[key] = new_state.get(key, 0) + f
         state = new_state
     return merges
+
+
+def encode_vocab(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned merge list (in order) to every DISTINCT word:
+    (word, subwords array, n_subwords). Vocab-cost — the corpus never
+    re-tokenizes; docs join against this table (the standard "encode the
+    vocab once, look words up" structure of production BPE encoders).
+
+    Each merge is one boundary-anchored regexp_replace over the
+    space-joined symbol column — a chain of n scan-local expressions. For
+    tokenizers with tens of thousands of merges the same vocab-level table
+    is built with a greedy trie encoder behind an Arrow UDF instead; the
+    join-back shape (the part that touches corpus scale) is identical.
+    """
+    chars = F.expr("array_join(split(word, ''), ' ')")
+    out = vocab.select("word", "freq", chars.alias("syms"))
+    for left, right in merges:
+        pat, repl = _merge_pattern(left, right)
+        out = out.withColumn("syms", F.regexp_replace("syms", pat, repl))
+    return out.select(
+        "word",
+        "freq",
+        F.split("syms", " ").alias("subwords"),
+        F.size(F.split("syms", " ")).alias("n_subwords"),
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame, id_col: str, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Per-document BPE token budget under a learned merge list:
+    (id, n_words, n_subwords). The doc side only explodes its words and
+    joins the encoded vocab on the word key — one shuffle keyed by word
+    (or a broadcast when the vocab fits, which a trained tokenizer's
+    vocab always does)."""
+    enc = encode_vocab(word_vocab(docs, text_col), merges).select("word", "n_subwords")
+    words = docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("word"))
+    return (
+        words.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subwords").alias("n_subwords"),
+        )
+    )

@@ -719,3 +719,27 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return train_bpe_merges_df(d, "text", n_merges=12)
+
+
+@register(
+    "text_bpe_encode_counts",
+    None,  # depends on the iteratively-learned merge list — rows-only;
+    # encode parity vs the reference symbol walk pinned in tests/test_bpe.py
+    doc="BPE ENCODING under the learned tokenizer (the apply half of "
+    "text_bpe_train_merges): per document, whitespace word count and the "
+    "subword count after the 12 learned merges. The corpus-scale shape "
+    "is the one production encoders use — the DISTINCT word vocabulary "
+    "is encoded once (vocab-cost regexp chain), docs just explode words "
+    "and join the encoded vocab on the word key; documents never "
+    "re-tokenize per merge. Segmentation losslessness and parity with "
+    "the reference symbol walk are pinned in tests/test_bpe.py",
+)
+def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.bpe import (
+        bpe_token_counts,
+        train_bpe_merges,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(d, "text", n_merges=12)
+    return bpe_token_counts(d, "doc_id", "text", merges)

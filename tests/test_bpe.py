@@ -50,3 +50,49 @@ def test_repeated_symbol_runs_merge_left_to_right(spark):
     freqs = {r.word: r.freq for r in word_vocab(docs, "text").collect()}
     want = reference_bpe(freqs, 3)
     assert got == want
+
+
+def test_encode_vocab_matches_reference_walk(spark):
+    """Applying the learned merges to every distinct word must produce the
+    same subword segmentation as the reference's explicit symbol walk."""
+    from aidc_2018_timeseries_spark.operators.bpe import encode_vocab
+
+    docs = load_table(spark, SF_DIR, "documents")
+    vocab = word_vocab(docs, "text")
+    freqs = {r.word: r.freq for r in vocab.collect()}
+    merges = reference_bpe(freqs, 12)
+
+    got = {r.word: list(r.subwords) for r in encode_vocab(vocab, merges).collect()}
+
+    def ref_encode(word: str) -> list[str]:
+        syms = list(word)
+        for pair in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    assert set(got) == set(freqs)
+    for w in freqs:
+        assert got[w] == ref_encode(w), w
+        assert "".join(got[w]) == w, w  # segmentation is lossless
+
+
+def test_token_counts_consistent(spark):
+    """Doc-level n_subwords must sit between n_words (full fusion) and the
+    char count (no merges), and equal the sum over its words' encodings."""
+    from aidc_2018_timeseries_spark.operators.bpe import bpe_token_counts
+
+    docs = load_table(spark, SF_DIR, "documents")
+    freqs = {r.word: r.freq for r in word_vocab(docs, "text").collect()}
+    merges = reference_bpe(freqs, 12)
+    rows = bpe_token_counts(docs, "doc_id", "text", merges).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words <= r.n_subwords
