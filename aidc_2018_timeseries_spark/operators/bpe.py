@@ -82,12 +82,18 @@ def _merge_pattern(left: str, right: str) -> tuple[str, str]:
 
 
 def train_bpe_merges(
-    docs: DataFrame, text_col: str, n_merges: int = 10
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+    vocab: DataFrame | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges over the corpus; returns the ordered
     merge list [(left, right), ...]. Deterministic: ties break on
-    (count desc, left asc, right asc)."""
-    vocab = word_vocab(docs, text_col)
+    (count desc, left asc, right asc). Pass a precomputed ``vocab``
+    (word, freq) to skip the corpus pass — callers that also encode should
+    build the vocabulary once and share it."""
+    if vocab is None:
+        vocab = word_vocab(docs, text_col)
     # initial symbols: characters, space-joined. Words cannot contain
     # spaces (whitespace tokenization), so ' ' is a safe separator.
     chars = F.expr("array_join(split(word, ''), ' ')")
@@ -183,14 +189,21 @@ def encode_vocab(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
 
 
 def bpe_token_counts(
-    docs: DataFrame, id_col: str, text_col: str, merges: list[tuple[str, str]]
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document BPE token budget under a learned merge list:
     (id, n_words, n_subwords). The doc side only explodes its words and
     joins the encoded vocab on the word key — one shuffle keyed by word
     (or a broadcast when the vocab fits, which a trained tokenizer's
-    vocab always does)."""
-    enc = encode_vocab(word_vocab(docs, text_col), merges).select("word", "n_subwords")
+    vocab always does). Pass the trainer's ``vocab`` to avoid re-running
+    the corpus aggregation."""
+    if vocab is None:
+        vocab = word_vocab(docs, text_col)
+    enc = encode_vocab(vocab, merges).select("word", "n_subwords")
     words = docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("word"))
     return (
         words.join(enc, "word")

@@ -56,10 +56,11 @@ def ewma_final_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_final(ev, "user_id", ["t_us", "event_id"], "value", alpha=0.1)
 
 
-_ARRIVAL_H = (
-    "CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('arrival:42:', "
-    "CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)"
-)
+from aidc_2018_timeseries_spark.functions.hashing import hash64_seeded_sql
+
+# same helper the Spark side's arrival_batches uses — keeps the oracle's
+# hash text in lockstep with hash64_seeded by construction
+_ARRIVAL_H = hash64_seeded_sql("CAST(event_id AS VARCHAR)", "arrival:42")
 
 
 @register(

@@ -676,12 +676,10 @@ def text_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     "total order so the cut is deterministic cross-engine",
 )
 def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.bpe import word_vocab
+
     d = load_table(spark, sf_dir, "documents")
-    vocab = (
-        d.select(F.explode(tx.tokenize("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    vocab = word_vocab(d, "text")
     pairs = vocab.where(F.length("word") >= 2).select(
         F.explode(
             F.expr("transform(sequence(1, char_length(word) - 1), i -> substr(word, i, 2))")
@@ -738,8 +736,12 @@ def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aidc_2018_timeseries_spark.operators.bpe import (
         bpe_token_counts,
         train_bpe_merges,
+        word_vocab,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    merges = train_bpe_merges(d, "text", n_merges=12)
-    return bpe_token_counts(d, "doc_id", "text", merges)
+    # one corpus pass, shared by trainer and encoder (localCheckpoint so
+    # the trainer's 12 rounds and the encode join reuse materialized rows)
+    vocab = word_vocab(d, "text").localCheckpoint(eager=True)
+    merges = train_bpe_merges(d, "text", n_merges=12, vocab=vocab)
+    return bpe_token_counts(d, "doc_id", "text", merges, vocab=vocab)

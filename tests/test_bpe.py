@@ -8,8 +8,6 @@ for N rounds, the two implementations compute the same tokenizer.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from aidc_2018_timeseries_spark.operators.bpe import (
     reference_bpe,
     train_bpe_merges,
@@ -87,12 +85,27 @@ def test_encode_vocab_matches_reference_walk(spark):
 def test_token_counts_consistent(spark):
     """Doc-level n_subwords must sit between n_words (full fusion) and the
     char count (no merges), and equal the sum over its words' encodings."""
-    from aidc_2018_timeseries_spark.operators.bpe import bpe_token_counts
+    from aidc_2018_timeseries_spark.operators.bpe import bpe_token_counts, encode_vocab
 
     docs = load_table(spark, SF_DIR, "documents")
-    freqs = {r.word: r.freq for r in word_vocab(docs, "text").collect()}
+    vocab = word_vocab(docs, "text")
+    freqs = {r.word: r.freq for r in vocab.collect()}
     merges = reference_bpe(freqs, 12)
+    n_sub = {r.word: r.n_subwords for r in encode_vocab(vocab, merges).collect()}
     rows = bpe_token_counts(docs, "doc_id", "text", merges).collect()
     assert rows
+
+    from aidc_2018_timeseries_spark.operators.text import tokenize
+    from pyspark.sql import functions as F
+
+    doc_words = {
+        r.doc_id: list(r.ws)
+        for r in docs.select("doc_id", tokenize("text").alias("ws")).collect()
+    }
     for r in rows:
-        assert r.n_words <= r.n_subwords
+        ws = doc_words[r.doc_id]
+        assert r.n_words == len(ws)
+        # exact: doc subword count == sum of its words' encoded lengths
+        assert r.n_subwords == sum(n_sub[w] for w in ws)
+        # bounds: full fusion below, character count above
+        assert r.n_words <= r.n_subwords <= sum(len(w) for w in ws)
