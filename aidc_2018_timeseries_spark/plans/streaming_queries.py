@@ -74,7 +74,7 @@ _ARRIVAL_H = hash64_seeded_sql("CAST(event_id AS VARCHAR)", "arrival:42")
            FROM e GROUP BY arrival_batch),
     wm AS (SELECT arrival_batch,
                   MAX(bmax) OVER (ORDER BY arrival_batch
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                     - 3600000000 AS watermark_us
            FROM pb)
     SELECT e.arrival_batch, wm.watermark_us,

@@ -83,7 +83,12 @@ def flag_late_events(
     row set of a streaming dropDuplicates equals not-late under lag 1.
     """
     per_batch = df.groupBy(batch_col).agg(F.max(t_col).alias("batch_max_t"))
-    w = Window.orderBy(batch_col).rowsBetween(
+    # RANGE (value-based) frame, not ROWS: batch numbers are TRIGGER
+    # indices, and a trigger that delivered zero rows still counts in the
+    # lag arithmetic — a ROWS frame would skip one OBSERVED batch instead
+    # of one trigger and overshoot the lag across gaps (caught by
+    # tests/test_watermark_properties.py's sparse-batch examples)
+    w = Window.orderBy(batch_col).rangeBetween(
         Window.unboundedPreceding, -1 - filter_lag
     )
     wm = per_batch.select(
