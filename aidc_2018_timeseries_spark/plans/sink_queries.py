@@ -95,6 +95,61 @@ def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "untouched. At 100 TB the read side of a compacted sink pays one "
     "parquet footer per ~128 MB instead of one per micro-batch trigger",
 )
+@register(
+    "sink_schema_evolution_read",
+    """
+    WITH v1 AS (
+      SELECT user_id, COUNT(*) AS n_events
+      FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+    v2 AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors
+      FROM events WHERE event_id % 2 = 1 GROUP BY user_id),
+    merged AS (
+      SELECT 1 AS version, user_id, n_events, CAST(NULL AS BIGINT) AS n_errors FROM v1
+      UNION ALL
+      SELECT 2 AS version, user_id, n_events, n_errors FROM v2)
+    SELECT version,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(n_errors) AS BIGINT) AS n_errors
+    FROM merged GROUP BY version
+    """,
+    doc="schema-evolution read (the ingest reality of any long-lived "
+    "dataset: writers gain columns over time): a v1 writer emits "
+    "(user_id, n_events), a v2 writer adds n_errors, each landing under "
+    "its own version=N partition directory; the read opens the WHOLE "
+    "dataset with mergeSchema=true, so v1 files surface the new column "
+    "as NULL and the version partition column is reconstructed from "
+    "directory names. The aggregate proves both that no rows were lost "
+    "across the schema boundary and that NULL-vs-0 semantics survive "
+    "(v1's n_errors aggregates to NULL, never 0). At 100 TB schema "
+    "merge reads footers only — data files are never rewritten when a "
+    "column is added",
+)
+def sink_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v1 = ev.where(F.col("event_id") % 2 == 0).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    v2 = ev.where(F.col("event_id") % 2 == 1).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    path = tempfile.mkdtemp(prefix="aidc_schema_evo_")
+    v1.write.mode("overwrite").parquet(f"{path}/version=1")
+    v2.write.mode("overwrite").parquet(f"{path}/version=2")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("version").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("n_errors").alias("n_errors"),
+    )
+
+
 def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     frag = tempfile.mkdtemp(prefix="aidc_frag_")
