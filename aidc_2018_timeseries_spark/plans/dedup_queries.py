@@ -162,11 +162,12 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_THRESHOLD = 0.3
 
 
-def _corpus_pipeline_oracle() -> str:
-    """The whole curation chain in one recursive-CTE statement: quality
+def _corpus_pipeline_oracle() -> tuple[str, str]:
+    """The whole curation chain as (CTE body, final SELECT): quality
     scoring, language ID, MinHash candidate pairs over the SURVIVORS,
     transitive closure, canonical (min-id) representative per cluster with
-    its cluster size; no-shingle survivors pass through as singletons."""
+    its cluster size; no-shingle survivors pass through as singletons.
+    Split so llm_corpus_pipeline_packed can extend the same chain."""
     from aidc_2018_timeseries_spark.operators.text import LANG_STOPWORDS
 
     def in_list(words: list[str]) -> str:
@@ -186,8 +187,7 @@ def _corpus_pipeline_oracle() -> str:
         "ROUND(0.4 * LEAST(n_stop / n * 5.0, 1.0) + 0.3 * (n_distinct / n) "
         "+ 0.3 * (LEAST(n, 200.0) / 200.0), 6)"
     )
-    return f"""
-    WITH RECURSIVE
+    ctes = f"""
     t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     feat AS (SELECT doc_id, toks,
                     CAST(len(toks) AS DOUBLE) AS n,
@@ -210,18 +210,25 @@ def _corpus_pipeline_oracle() -> str:
     sizes AS (SELECT component_id, COUNT(*) AS cluster_size FROM comp GROUP BY component_id),
     canon AS (SELECT c.node AS doc_id, z.cluster_size
               FROM comp c JOIN sizes z ON c.component_id = z.component_id
-              WHERE c.node = c.component_id)
+              WHERE c.node = c.component_id)"""
+    final = """
     SELECT k.doc_id, k.quality, c.cluster_size
     FROM canon c JOIN kept k USING (doc_id)
     UNION ALL
     SELECT k.doc_id, k.quality, CAST(1 AS BIGINT) AS cluster_size
     FROM kept k LEFT JOIN sh ON k.doc_id = sh.doc_id WHERE sh.doc_id IS NULL
     """
+    return ctes, final
+
+
+def _corpus_pipeline_sql() -> str:
+    ctes, final = _corpus_pipeline_oracle()
+    return f"WITH RECURSIVE {ctes} {final}"
 
 
 @register(
     "llm_corpus_pipeline",
-    _corpus_pipeline_oracle(),
+    _corpus_pipeline_sql(),
     doc="the LLM-side flagship: quality filter (Gopher/C4-style score ≥ "
     "0.3) → language gate (en) → MinHash+LSH near-dup clustering over the "
     "survivors → one canonical doc per cluster with its cluster size. "
@@ -536,3 +543,54 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh_src.select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
     )
     return dd.incremental_ingest_verdicts(d, arrivals, "doc_id", "text")
+
+
+def _corpus_pipeline_packed_sql() -> str:
+    """Extend the curation chain's CTEs with greedy packing of the
+    surviving canonical docs (text_pack_greedy's exact cumsum logic) and a
+    per-pack rollup."""
+    ctes, final = _corpus_pipeline_oracle()
+    return f"""
+    WITH RECURSIVE {ctes},
+    survivors AS ({final}),
+    st AS (SELECT d.source, s.doc_id, CAST(len(t0.toks) AS BIGINT) AS n_tokens
+           FROM survivors s
+           JOIN t0 ON t0.doc_id = s.doc_id
+           JOIN documents d ON d.doc_id = s.doc_id),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+                  AS BIGINT) AS pack_id
+      FROM st)
+    SELECT source, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY source, pack_id
+    """
+
+
+@register(
+    "llm_corpus_pipeline_packed",
+    _corpus_pipeline_packed_sql(),
+    doc="the END-TO-END training-data preparation chain: the full "
+    "curation pipeline (quality gate -> language gate -> MinHash+LSH "
+    "near-dup clustering -> one canonical doc per cluster) feeding "
+    "straight into greedy sequence PACKING of the survivors (~256-token "
+    "packs per source shard) with a per-pack rollup — every stage an "
+    "already-verified leaf face (llm_corpus_pipeline + text_pack_greedy), "
+    "composed into one declarative plan plus the bounded CC rounds. This "
+    "is the query a real pipeline runs nightly: curate, dedup, pack, "
+    "count the training tokens per shard",
+)
+def llm_corpus_pipeline_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators import text as tx
+
+    surv = llm_corpus_pipeline(spark, sf_dir).select("doc_id")
+    d = load_table(spark, sf_dir, "documents").join(surv, "doc_id")
+    packed = tx.greedy_pack(d, "source", "doc_id", "text", 256)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
