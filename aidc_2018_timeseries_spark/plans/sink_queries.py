@@ -76,26 +76,6 @@ def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sink_compact_small_files",
-    """
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM events GROUP BY event_type
-    """,
-    doc="small-file compaction round-trip (the maintenance job every "
-    "incremental/streaming sink needs): events are first written "
-    "deliberately fragmented (64 round-robin files — a stand-in for "
-    "per-trigger micro-batch output), then compacted to "
-    "ceil(total_bytes/target) evenly-sized files via one distributed "
-    "repartition+rewrite (sizing reads file METADATA only, "
-    "tests/test_sinks.py asserts the file count actually shrinks), and "
-    "the aggregate over the compacted copy must equal the aggregate "
-    "over the raw table — compaction is pure layout, rows are "
-    "untouched. At 100 TB the read side of a compacted sink pays one "
-    "parquet footer per ~128 MB instead of one per micro-batch trigger",
-)
-@register(
     "source_jsonl_roundtrip",
     """
     SELECT lang, source,
@@ -191,6 +171,26 @@ def sink_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sink_compact_small_files",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="small-file compaction round-trip (the maintenance job every "
+    "incremental/streaming sink needs): events are first written "
+    "deliberately fragmented (64 round-robin files — a stand-in for "
+    "per-trigger micro-batch output), then compacted to "
+    "ceil(total_bytes/target) evenly-sized files via one distributed "
+    "repartition+rewrite (sizing reads file METADATA only, "
+    "tests/test_sinks.py asserts the file count actually shrinks), and "
+    "the aggregate over the compacted copy must equal the aggregate "
+    "over the raw table — compaction is pure layout, rows are "
+    "untouched. At 100 TB the read side of a compacted sink pays one "
+    "parquet footer per ~128 MB instead of one per micro-batch trigger",
+)
 def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     frag = tempfile.mkdtemp(prefix="aidc_frag_")

@@ -174,3 +174,22 @@ def test_queries_and_oracle_sql_follow_the_same_order():
     o = entry.oracle_sql()
     assert list(q) == entry._sweep_order()
     assert set(o) == {n for n in q if CATALOG[n].oracle is not None}
+
+
+def test_no_catalog_entry_shares_a_function():
+    """Stacked @register decorators silently bind two catalog names to ONE
+    function (this exact bug shipped `sink_compact_small_files` pointing at
+    the JSONL face mid-round-5 until the parity suite caught it). Every
+    catalog entry must own a distinct callable."""
+    from collections import Counter
+
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+
+    load_all()
+    owners = Counter(id(q.spark_fn) for q in CATALOG.values())
+    dupes = [
+        [n for n, q in CATALOG.items() if id(q.spark_fn) == fid]
+        for fid, c in owners.items()
+        if c > 1
+    ]
+    assert not dupes, f"catalog names sharing one function: {dupes}"
