@@ -680,3 +680,80 @@ def events_range_frame_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_in_hour"),
         F.round(F.avg("value").over(w), 6).alias("hour_mean"),
     )
+
+
+# --- seasonal-naive forecast + MASE (composes the resample grid) ---
+_RESAMPLE_FFILL_SQL = f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, value FROM events),
+    b AS (SELECT user_id, t_us - (t_us % {_BUCKET_US}) AS bucket_start_us,
+                 t_us, event_id, value FROM e),
+    last AS (
+      SELECT user_id, bucket_start_us, value FROM (
+        SELECT user_id, bucket_start_us, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket_start_us
+                                  ORDER BY t_us DESC, event_id DESC) AS rn
+        FROM b) WHERE rn = 1),
+    bounds AS (SELECT user_id, MIN(bucket_start_us) AS b0, MAX(bucket_start_us) AS b1
+               FROM b GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(b0, b1, {_BUCKET_US})) AS bucket_start_us
+             FROM bounds),
+    j AS (SELECT user_id, bucket_start_us, value AS v
+          FROM grid LEFT JOIN last USING (user_id, bucket_start_us))
+    SELECT user_id, bucket_start_us,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_start_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM j
+"""
+
+
+@register(
+    "forecast_seasonal_naive_mase",
+    f"""
+    WITH g AS ({_RESAMPLE_FFILL_SQL}),
+    f AS (SELECT user_id, value,
+                 LAG(value, 4) OVER (PARTITION BY user_id
+                                     ORDER BY bucket_start_us) AS pred,
+                 LAG(value, 1) OVER (PARTITION BY user_id
+                                     ORDER BY bucket_start_us) AS prev
+          FROM g)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(COUNT(pred) AS BIGINT) AS n_scored,
+           ROUND(AVG(ABS(value - pred))
+                 / NULLIF(AVG(ABS(value - prev)), 0), 6) AS mase
+    FROM f GROUP BY user_id
+    """,
+    doc="seasonal-naive forecast scored with MASE (the standard "
+    "scale-free forecast-accuracy baseline): the irregular events are "
+    "first resampled onto the 6h forward-filled grid (the verified "
+    "resample_ffill_6h leaf), the seasonal-naive prediction is "
+    "lag(season=4 buckets = 24h) per user, and MASE divides the mean "
+    "absolute forecast error by the one-step naive scale "
+    "(mean |v_t − v_{{t−1}}|; NULL when the series is constant). "
+    "One user_id shuffle carries the grid build, both lags, and the "
+    "final per-user aggregate — windows and groupBy share the "
+    "partitioning, so composing forecast scoring onto the grid adds "
+    "ZERO shuffles. The forecasting-eval face of the metrics family "
+    "next to a5_mse_naive_forecast",
+)
+def forecast_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    g = resample.resample_ffill(
+        _events(spark, sf_dir), KEY, "ts", VAL, _BUCKET_US, "event_id"
+    )
+    w = Window.partitionBy(KEY).orderBy("bucket_start_us")
+    f = g.select(
+        KEY,
+        F.col("value"),
+        F.lag("value", 4).over(w).alias("pred"),
+        F.lag("value", 1).over(w).alias("prev"),
+    )
+    err = F.abs(F.col("value") - F.col("pred"))
+    scale = F.abs(F.col("value") - F.col("prev"))
+    return f.groupBy(KEY).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.count("pred").alias("n_scored"),
+        F.round(F.avg(err) / F.nullif(F.avg(scale), F.lit(0)), 6).alias("mase"),
+    )
