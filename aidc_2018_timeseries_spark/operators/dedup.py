@@ -366,3 +366,66 @@ def incremental_ingest_verdicts(
         .otherwise(F.lit("ingested"))
         .alias("verdict"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Exact duplicated token-SPAN detection: the substring-level dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), whose suffix-array pass is re-expressed as its scalable
+    surrogate — a corpus-wide duplicated-k-gram join + per-document
+    gaps-and-islands merge. Doc-level dedup (``exact_duplicates``/MinHash)
+    misses text duplicated INSIDE otherwise-distinct documents (licenses,
+    boilerplate headers, quoted passages); this operator finds those spans
+    so a curation pipeline can cut them instead of dropping whole docs.
+
+    Algorithm (reference data model: per-sample window extraction,
+    ``datasets/timeseries.py`` rolling windows — same explode shape):
+    1. tokenize; emit every k-token gram with its 1-based start position
+       (scan-local explode, ~L rows per doc — exactly the W1 rolling-window
+       row shape);
+    2. a gram is DUPLICATED iff its md5-derived ``hash64`` occurs >= 2
+       times corpus-wide, counted as a window-count over the gram-hash
+       partition (ONE shuffle keyed by the 8-byte hash, never gram text —
+       and no second join-back pass);
+    3. per doc, chain duplicated starts whose gap <= k into maximal spans
+       (lag + running-sum islands over a per-doc window);
+    4. one row per span: (id, span_start, span_end, span_tokens, n_grams),
+       token indices 1-based inclusive.
+
+    Scale: the only corpus-wide shuffle is keyed by gram hash — uniform by
+    construction (md5), so no skew; state per key is the occurrence list of
+    one gram. The per-doc island window repartitions by doc id. Both are
+    the same shapes the MinHash band join already proved at 100 TB. Memory
+    per task is bounded by (rows per gram-hash partition), not corpus size.
+    """
+    toks = tokenize(F.col(text_col))
+    starts = F.when(
+        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .select(F.col(id_col), F.explode(starts).alias("pos"), F.col("toks"))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("pos"),
+            hash64(F.array_join(F.slice("toks", F.col("pos"), k), " ")).alias("gh"),
+        )
+    )
+    dup = grams.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    ).filter(F.col("cnt") >= 2)
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(wdoc) > k, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("island", F.sum("brk").over(wdoc))
+    return islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k - 1).alias("span_end"),
+        (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("island")

@@ -594,3 +594,44 @@ def llm_corpus_pipeline_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+_SPAN_K = 5
+_SPAN_GH = hash64_sql(
+    f"array_to_string(list_slice(toks, pos, pos + {_SPAN_K} - 1), ' ')"
+)
+
+
+@register(
+    "dedup_duplicate_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g0 AS (SELECT doc_id, toks,
+                  unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS pos FROM t),
+    g AS (SELECT doc_id, pos, {_SPAN_GH} AS gh FROM g0),
+    c AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gh) AS cnt FROM g),
+    d AS (SELECT doc_id, pos FROM c WHERE cnt >= 2),
+    i AS (SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) > {_SPAN_K}
+                      THEN 1 ELSE 0 END AS brk FROM d),
+    isl AS (SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM i)
+    SELECT doc_id, MIN(pos) AS span_start,
+           MAX(pos) + {_SPAN_K} - 1 AS span_end,
+           MAX(pos) - MIN(pos) + {_SPAN_K} AS span_tokens,
+           COUNT(*) AS n_grams
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc="substring-level exact dedup (Lee et al. 2022's suffix-array pass "
+    "as its scalable k-gram surrogate): every maximal token span whose "
+    "5-grams all recur somewhere in the corpus — the licenses/boilerplate/"
+    "quoted-passage duplication that doc-level dedup cannot see. One "
+    "md5-hash-keyed shuffle for corpus-wide gram counts (window count, no "
+    "join-back), one per-doc gaps-and-islands window; both shapes already "
+    "scale-proven by the MinHash band join and W1 rolling windows",
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.duplicate_spans(d, "doc_id", "text", k=_SPAN_K)
