@@ -158,3 +158,54 @@ def resample_ffill(
         F.last("v", ignorenulls=True).over(ffill).alias("value"),
         F.when(F.col("v").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("is_observed"),
     )
+
+
+def downsample_maxdev(
+    df: DataFrame,
+    key: str,
+    ts_us_col: str,
+    val_col: str,
+    id_col: str,
+    n_buckets: int = 12,
+) -> DataFrame:
+    """Shape-preserving per-series downsampling (the LTTB family, à la
+    Steinarsson 2013): split each ordered series into ``n_buckets``
+    equal-count buckets, keep the single most INFORMATIVE point per bucket
+    — the one deviating most from its bucket mean — plus both endpoints,
+    so peaks/troughs survive while flat stretches collapse. This is the
+    storage/visualization rollup of every telemetry hypertable (downsample
+    raw points before long-retention storage).
+
+    Determinism across engines: bucket assignment is ``ntile`` over the
+    exact ``(t_us, id)`` order; the per-bucket pick orders by the deviation
+    ROUNDED to 6 dp (so summation-order ulp noise in the bucket mean cannot
+    flip the argmax) with ``(t_us, id)`` as the tie-break.
+
+    Scale: one shuffle keyed by the series, then per-series window work —
+    identical shape to W1/W2 windowing (a series fits a task; the 100 TB
+    path partitions by series id, never globally). Output is ~``n_buckets
+    + 2`` rows per series regardless of input length.
+    """
+    w_order = Window.partitionBy(key).orderBy(ts_us_col, id_col)
+    wb = Window.partitionBy(key, "bucket")
+    pts = (
+        df.withColumn("bucket", F.ntile(n_buckets).over(w_order).cast("long"))
+        .withColumn("pos", F.row_number().over(w_order))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(key)))
+        .withColumn(
+            "dev", F.round(F.abs(F.col(val_col) - F.avg(val_col).over(wb)), 6)
+        )
+    )
+    w_pick = Window.partitionBy(key, "bucket").orderBy(
+        F.col("dev").desc(), F.col(ts_us_col), F.col(id_col)
+    )
+    pts = pts.withColumn("rn", F.row_number().over(w_pick))
+    endpoint = (F.col("pos") == 1) | (F.col("pos") == F.col("n"))
+    return pts.filter((F.col("rn") == 1) | endpoint).select(
+        key,
+        ts_us_col,
+        id_col,
+        val_col,
+        "bucket",
+        endpoint.cast("int").alias("is_endpoint"),
+    )

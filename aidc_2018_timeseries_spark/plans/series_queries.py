@@ -757,3 +757,38 @@ def forecast_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("pred").alias("n_scored"),
         F.round(F.avg(err) / F.nullif(F.avg(scale), F.lit(0)), 6).alias("mase"),
     )
+
+
+@register(
+    "series_downsample_maxdev",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, value FROM events),
+    b AS (SELECT *,
+                 NTILE(12) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS bucket,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS pos,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+          FROM e),
+    d AS (SELECT *, ROUND(ABS(value - AVG(value) OVER (PARTITION BY user_id, bucket)), 6) AS dev
+          FROM b),
+    p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                       ORDER BY dev DESC, t_us, event_id) AS rn
+          FROM d)
+    SELECT user_id, t_us, event_id, value, bucket,
+           CASE WHEN pos = 1 OR pos = n THEN 1 ELSE 0 END AS is_endpoint
+    FROM p WHERE rn = 1 OR pos = 1 OR pos = n
+    """,
+    doc="shape-preserving series downsampling (LTTB family): 12 equal-count "
+    "buckets per user series, keep the max-|value - bucket mean| point per "
+    "bucket plus both endpoints — the long-retention rollup that collapses "
+    "flat telemetry while peaks survive. Deviation rounded to 6 dp before "
+    "the argmax so bucket-mean summation order can't flip the pick; "
+    "(t_us, event_id) tie-break everywhere. One series-keyed shuffle, "
+    "output ~14 rows/series regardless of input length",
+)
+def series_downsample_maxdev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000").alias("t_us"), "event_id", "value"
+    )
+    return resample.downsample_maxdev(
+        e, "user_id", "t_us", "value", "event_id", n_buckets=12
+    )
