@@ -228,3 +228,62 @@ def upweight_mixture(
         .withColumn(copy_col, F.col(copy_col).cast("long"))
         .drop("_n_copies")
     )
+
+
+def backtest_folds(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    val_col: str,
+    n_folds: int = 5,
+) -> DataFrame:
+    """Expanding-window backtest (time-series cross-validation): split each
+    series into ``n_folds`` contiguous equal-count folds in time order and
+    score every fold >= 2 with the PERSISTENCE forecast — predict the last
+    observed value of the previous fold for every point of the current one.
+    This is the rolling-origin evaluation a forecasting pipeline runs
+    before trusting any model (the reference's single time-ordered split,
+    ``timeseries.py:52-63``/W13, generalized to K ordered folds), and its
+    per-fold MSE is the floor a trained model must beat fold-by-fold.
+
+    Per (series, fold): point count, fold mean, the training prediction
+    (previous fold's final value; NULL for fold 1 — nothing seen yet), and
+    the persistence MSE computed closed-form from fold moments
+    (E[(v-c)^2] = E[v^2] - 2c E[v] + c^2) so scoring needs NO join back to
+    the points — the whole backtest is one series-keyed window pass plus a
+    (series, fold) aggregate, both rounded to 6 dp for cross-engine parity.
+
+    Scale: fold assignment shares the W1/W2 per-series window shuffle; the
+    fold table is ~n_folds rows per series (broadcastable anywhere
+    downstream). No global windows, no driver loops.
+    """
+    w_order = Window.partitionBy(key).orderBy(ts_col, id_col)
+    w_last = Window.partitionBy(key, "fold").orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    pts = (
+        df.withColumn("fold", F.ntile(n_folds).over(w_order).cast("long"))
+        .withColumn("rn_last", F.row_number().over(w_last))
+    )
+    folds = pts.groupBy(key, "fold").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.avg(val_col).alias("_m1"),
+        F.avg(F.col(val_col) * F.col(val_col)).alias("_m2"),
+        F.max(F.when(F.col("rn_last") == 1, F.col(val_col))).alias("_last"),
+    )
+    w_fold = Window.partitionBy(key).orderBy("fold")
+    c = F.lag("_last").over(w_fold)
+    return folds.withColumn("train_last", c).select(
+        key,
+        "fold",
+        "n_points",
+        F.round("_m1", 6).alias("fold_mean"),
+        "train_last",
+        F.round(
+            F.col("_m2")
+            - 2 * F.col("train_last") * F.col("_m1")
+            + F.col("train_last") * F.col("train_last"),
+            6,
+        ).alias("mse_persistence"),
+    )

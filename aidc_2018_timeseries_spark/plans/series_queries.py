@@ -792,3 +792,39 @@ def series_downsample_maxdev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample.downsample_maxdev(
         e, "user_id", "t_us", "value", "event_id", n_buckets=12
     )
+
+
+@register(
+    "forecast_backtest_folds",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, value FROM events),
+    b AS (SELECT user_id, t_us, event_id, value,
+                 NTILE(5) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS fold
+          FROM e),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, fold
+                                       ORDER BY t_us DESC, event_id DESC) AS rn
+          FROM b),
+    f AS (SELECT user_id, fold, COUNT(*) AS n_points, AVG(value) AS m1,
+                 AVG(value * value) AS m2,
+                 MAX(CASE WHEN rn = 1 THEN value END) AS last_v
+          FROM r GROUP BY user_id, fold),
+    g AS (SELECT *, LAG(last_v) OVER (PARTITION BY user_id ORDER BY fold) AS train_last
+          FROM f)
+    SELECT user_id, fold, n_points, ROUND(m1, 6) AS fold_mean, train_last,
+           ROUND(m2 - 2 * train_last * m1 + train_last * train_last, 6)
+             AS mse_persistence
+    FROM g
+    """,
+    doc="expanding-window backtest (rolling-origin time-series CV): 5 "
+    "contiguous time-ordered folds per user series; every fold >= 2 is "
+    "scored with the persistence forecast (predict the previous fold's "
+    "final value) via closed-form fold moments — no join back to points. "
+    "The per-fold MSE floor a trained forecaster must beat, generalizing "
+    "the reference's single W13 time split to K ordered folds. One "
+    "series-keyed window pass + one (series, fold) aggregate",
+)
+def forecast_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000").alias("t_us"), "event_id", "value"
+    )
+    return split.backtest_folds(e, "user_id", "t_us", "event_id", "value", n_folds=5)
