@@ -95,3 +95,42 @@ def constant_scale(col: Column | str, divisor: float = 100.0) -> Column:
     """A3: settings ÷ 100 (reference ``turbofan.py:243-246``)."""
     c = F.col(col) if isinstance(col, str) else col
     return c / F.lit(divisor)
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    group: str,
+    val_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group percentile clipping (winsorization): clamp ``val_col`` to
+    its group's exact [lo, hi] quantiles — the standard outlier guard a
+    training pipeline applies to loss-relevant numeric features before
+    normalization (A1/A2 assume tails are sane; this is what makes them
+    sane). Distinct from a2_window_zscore: bounds come from ORDER
+    STATISTICS, so one wild sensor spike moves them (almost) not at all,
+    while it drags a mean/σ arbitrarily far.
+
+    Bounds are exact linear-interpolated percentiles (Spark ``percentile``
+    == DuckDB ``quantile_cont`` definition), rounded to 6 dp BEFORE the
+    clip so cross-engine interpolation ulps cannot flip boundary rows.
+
+    Scale: one partial-aggregated shuffle for the per-group bounds (the
+    exact percentile needs the group's sorted values — swap in
+    ``percentile_approx`` when groups exceed executor memory; same plan
+    shape), then a broadcast join back (bounds relation = one row per
+    group) — the scan never reshuffles.
+    """
+    bounds = df.groupBy(group).agg(
+        F.round(F.percentile(val_col, F.lit(lo)), 6).alias("p_lo"),
+        F.round(F.percentile(val_col, F.lit(hi)), 6).alias("p_hi"),
+    )
+    joined = df.join(F.broadcast(bounds), group)
+    clipped = F.least(F.greatest(F.col(val_col), F.col("p_lo")), F.col("p_hi"))
+    return joined.withColumn(f"{val_col}_winsorized", clipped).withColumn(
+        "is_clipped",
+        ((F.col(val_col) < F.col("p_lo")) | (F.col(val_col) > F.col("p_hi"))).cast(
+            "int"
+        ),
+    )

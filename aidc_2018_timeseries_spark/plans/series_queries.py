@@ -828,3 +828,37 @@ def forecast_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr("ts div 1000").alias("t_us"), "event_id", "value"
     )
     return split.backtest_folds(e, "user_id", "t_us", "event_id", "value", n_folds=5)
+
+
+@register(
+    "events_winsorize_by_type",
+    """
+    WITH b AS (SELECT event_type,
+                      ROUND(quantile_cont(value, 0.05), 6) AS p_lo,
+                      ROUND(quantile_cont(value, 0.95), 6) AS p_hi
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value, b.p_lo, b.p_hi,
+           LEAST(GREATEST(e.value, b.p_lo), b.p_hi) AS value_winsorized,
+           CASE WHEN e.value < b.p_lo OR e.value > b.p_hi THEN 1 ELSE 0 END
+             AS is_clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+    doc="per-group winsorization: clamp each event's value to its "
+    "event type's exact [p05, p95] order-statistic bounds (rounded to "
+    "6 dp before the clip so interpolation ulps can't flip boundary "
+    "rows) — the outlier guard that makes mean/sigma normalization (A1/"
+    "A2) safe. One partial-agg shuffle for the 5-row bounds relation, "
+    "broadcast join back; the event scan never reshuffles",
+)
+def events_winsorize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = normalize.winsorize_by_group(e, "event_type", "value", 0.05, 0.95)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        "p_lo",
+        "p_hi",
+        F.col("value_winsorized").alias("value_winsorized"),
+        "is_clipped",
+    )
