@@ -255,3 +255,35 @@ def tws_record_breaking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", F.expr("ts div 1000").alias("ts"), "value"
     )
     return record_breaking_batch(ev).withColumnRenamed("ts", "t_us")
+
+
+@register(
+    "streaming_interval_join",
+    """
+    WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+               WHERE event_type = 'click'),
+    x AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+          WHERE event_type = 'error')
+    SELECT c.user_id, c.event_id AS left_event_id, x.event_id AS right_event_id,
+           x.t_us - c.t_us AS gap_us
+    FROM c JOIN x ON c.user_id = x.user_id
+     AND x.t_us >= c.t_us AND x.t_us <= c.t_us + 600000000
+    """,
+    doc="stream-stream interval join (clicks x errors within 10 min per "
+    "user): the batch face of streaming/joins.py interval_join_streams — "
+    "the SAME function runs on two readStream sources with 2h watermarks "
+    "on both sides, where the bounded time predicate lets Spark evict "
+    "join state at the watermark (state = events per key within the "
+    "tolerance, not stream length). tests/test_streaming.py replays the "
+    "files through the live streaming query and proves stream == this "
+    "batch result row-for-row. Join state and shuffle are keyed by "
+    "user_id; all time math in the exact µs domain",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.streaming.joins import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events")
+    return interval_join_streams(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+    )
