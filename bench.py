@@ -63,6 +63,13 @@ HEADLINE = [
     # INCLUDES writing both bucketed tables (the amortized-write story)
     "bucketed_join_colocated",
     "streaming_watermark_late_drops",
+    # added round 5c (subtract when comparing against earlier totals):
+    # substring-span dedup is the heavy one (corpus-wide gram shuffle);
+    # the rest are series-window-shaped
+    "dedup_duplicate_spans",
+    "series_downsample_maxdev",
+    "forecast_backtest_folds",
+    "events_winsorize_by_type",
 ]
 
 
