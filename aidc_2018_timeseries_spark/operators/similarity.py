@@ -511,3 +511,43 @@ def quantize_embeddings(
     )
     q = F.transform("_e", lambda x: F.round(x / F.col("scale"), 0).cast("int"))
     return v.select(id_col, "scale", q.alias("qvec"), "_e")
+
+
+def random_projection(
+    vectors: DataFrame,
+    dim: int,
+    out_dim: int,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce ``dim``-wide
+    embeddings to ``out_dim`` coordinates via dot products with
+    deterministic Gaussian directions (``hyperplane_rows`` — the same
+    md5-free seeded source the LSH faces inline, so both engines see
+    bit-identical constants). Pairwise distances are preserved within
+    (1±ε) for out_dim = O(log n / ε²) — the standard pre-ANN / pre-cluster
+    shrink that makes a 100 TB embedding corpus joinable at interactive
+    cost.
+
+    Output is long format (id, comp_id, coord), coord scaled by
+    1/sqrt(out_dim) and rounded to 6 dp. Plan: the projection matrix is a
+    CONSTANT inlined into the expression tree — scan-local, no join, no
+    shuffle, whole-stage codegen; output rows = n × out_dim.
+    """
+    import math
+
+    planes = hyperplane_rows(dim, 1, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for _, b, plane in sorted(planes):
+        const = F.array(*[F.lit(x) for x in plane])
+        comps.append(
+            F.struct(
+                F.lit(b).alias("comp_id"),
+                F.round(dot(F.col(vec_col), const) * F.lit(scale), 6).alias("coord"),
+            )
+        )
+    return vectors.select(
+        F.col(id_col), F.explode(F.array(*comps)).alias("_c")
+    ).select(id_col, F.col("_c.comp_id").alias("comp_id"), F.col("_c.coord").alias("coord"))

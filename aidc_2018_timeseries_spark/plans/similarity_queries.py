@@ -226,3 +226,43 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mse"),
     )
+
+
+_RP_DIM, _RP_OUT, _RP_SEED = 64, 8, 11
+
+
+def _random_projection_oracle() -> str:
+    """Inline the same JL direction constants (one Python source of truth:
+    sim.hyperplane_rows) so the driver's hash check verifies the actual
+    projection arithmetic."""
+    import math
+
+    planes = sim.hyperplane_rows(_RP_DIM, 1, _RP_OUT, _RP_SEED)
+    scale = 1.0 / math.sqrt(_RP_OUT)
+    values = ",\n      ".join(
+        f"({b}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        for _, b, plane in sorted(planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dirs(comp_id, plane) AS (VALUES
+      {values})
+    SELECT v.vec_id, d.comp_id,
+           ROUND(list_dot_product(v.e, d.plane) * {scale!r}, 6) AS coord
+    FROM v CROSS JOIN dirs d
+    """
+
+
+@register(
+    "embedding_random_projection",
+    _random_projection_oracle(),
+    doc="Johnson-Lindenstrauss random projection 64 -> 8 dims: dot "
+    "products with seeded Gaussian directions (bit-identical constants "
+    "inlined on both engines), scaled 1/sqrt(8), 6-dp rounded — the "
+    "distance-preserving shrink run before ANN indexing or clustering at "
+    "corpus scale. Scan-local constant-matrix expression, no shuffle; "
+    "long-format output n x 8 rows",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings")
+    return sim.random_projection(v, _RP_DIM, _RP_OUT, _RP_SEED)
