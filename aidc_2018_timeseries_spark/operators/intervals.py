@@ -60,3 +60,73 @@ def concurrency_sweep(
         .groupBy(key, "max_concurrent")
         .agg(F.min("t_us").alias("first_peak_t_us"))
     )
+
+
+def hierarchical_running_sum(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """GLOBAL running sum without a global single-partition window — the
+    two-level prefix-sum decomposition: (1) running sum WITHIN each bucket
+    (shuffle keyed by bucket, parallel across buckets), (2) running offset
+    ACROSS buckets computed on the buckets-total relation (one row per
+    bucket — thousands of rows at 100 TB, so its single-partition window
+    is free), (3) broadcast the offsets back. Row values are exactly what
+    one global ordered window would produce, provided ``bucket_col`` is
+    coarser than (sorts consistently with) ``order_cols``'s leading column.
+
+    This is the scale-out answer for every "order the WHOLE table"
+    operator (W13 global split, trailing-k over a whole stream, sweep-line
+    concurrency): the only global structure is the per-bucket totals.
+    """
+    w_in = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("_cum_in", F.sum(val_col).over(w_in))
+    totals = df.groupBy(bucket_col).agg(F.sum(val_col).alias("_btot"))
+    w_b = (
+        Window.orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        bucket_col,
+        (F.sum("_btot").over(w_b) - F.col("_btot")).alias("_boff"),
+    )
+    return local.join(F.broadcast(offsets), bucket_col).withColumn(
+        out_col, F.col("_cum_in") + F.col("_boff")
+    ).drop("_cum_in", "_boff")
+
+
+def concurrency_curve_global(
+    df: DataFrame,
+    start_us_col: str,
+    end_us_col: str,
+    id_col: str,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """The UN-KEYED sweep-line: global concurrency at every interval
+    boundary, scalable via :func:`hierarchical_running_sum` with time
+    buckets (default 1 day) as the parallel unit. Output one row per
+    boundary: (t_us, delta, boundary id, conc)."""
+    starts = df.select(
+        F.col(start_us_col).alias("t_us"),
+        F.lit(1).alias("delta"),
+        F.col(id_col).alias("bid"),
+    )
+    ends = df.select(
+        F.col(end_us_col).alias("t_us"),
+        F.lit(-1).alias("delta"),
+        F.col(id_col).alias("bid"),
+    )
+    bounds = starts.unionByName(ends).withColumn(
+        "day_bucket", F.col("t_us") - (F.col("t_us") % F.lit(bucket_us))
+    )
+    out = hierarchical_running_sum(
+        bounds, "day_bucket", ["t_us", "delta", "bid"], "delta", out_col="conc"
+    )
+    return out.select("t_us", "delta", "bid", "conc")

@@ -351,3 +351,34 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("ts div 1000") + F.lit(600_000_000)).alias("end_us"),
     )
     return concurrency_sweep(e, "event_type", "start_us", "end_us", "event_id")
+
+
+@register(
+    "events_concurrency_curve_global",
+    """
+    WITH e AS (SELECT event_id, epoch_us(ts) AS t_us FROM events),
+    b AS (SELECT t_us, 1 AS delta, event_id AS bid FROM e
+          UNION ALL
+          SELECT t_us + 600000000, -1, event_id FROM e)
+    SELECT t_us, delta, bid,
+           CAST(SUM(delta) OVER (ORDER BY t_us, delta, bid
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+    FROM b
+    """,
+    doc="GLOBAL concurrency curve (un-keyed sweep-line) via the two-level "
+    "prefix-sum decomposition: per-day-bucket running sums in parallel + "
+    "a running offset over the tiny buckets-total relation, broadcast "
+    "back — row-for-row identical to the single global ordered window the "
+    "oracle states, but the only single-partition work is one row per "
+    "day. The scale-out template for every whole-table-ordered operator "
+    "(W13/A8's documented global-window limitation, solved)",
+)
+def events_concurrency_curve_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.intervals import concurrency_curve_global
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("ts div 1000").alias("start_us"),
+        (F.expr("ts div 1000") + F.lit(600_000_000)).alias("end_us"),
+    )
+    return concurrency_curve_global(e, "start_us", "end_us", "event_id")
