@@ -21,21 +21,42 @@ def time_ordered_split(
     order: str | Sequence[str],
     train_ratio: float,
     out: str = "split",
+    bucket_expr=None,
 ) -> DataFrame:
     """W13: first round(ratio*N) rows (global time order) are 'train', the
     rest 'test' (reference ``timeseries.py:52-63``: split over the window
     axis, time-ordered, no shuffle before the split).
 
-    round() matches NumPy's ``int(round(ratio * N))``. Global row_number is
-    a single-partition window — fine for split bookkeeping at any scale if
-    applied to window COUNTS; for row-level assignment at 100 TB prefer
-    :func:`time_threshold_split` (no global sort).
+    round() matches NumPy's ``int(round(ratio * N))``.
+
+    Scale path: pass ``bucket_expr`` — a Column that COARSENS the leading
+    order column (e.g. ``ts div <week_ns>``) — and the global row index is
+    computed via the two-level prefix-sum decomposition
+    (``intervals.hierarchical_running_sum``): per-bucket row numbering in
+    parallel, one tiny buckets-total offset relation, identical output.
+    Without it, a global single-partition window is used — fine only for
+    bookkeeping-sized inputs; at 100 TB use ``bucket_expr`` or
+    :func:`time_threshold_split` (no ordering at all).
     """
     order_names = [order] if isinstance(order, str) else list(order)
-    w = Window.orderBy(*[F.col(n) for n in order_names])
     n = df.count()
     cutoff = int(round(train_ratio * n))
-    return df.withColumn("_rn", F.row_number().over(w)).withColumn(
+    if bucket_expr is not None:
+        from aidc_2018_timeseries_spark.operators.intervals import (
+            hierarchical_running_sum,
+        )
+
+        ranked = hierarchical_running_sum(
+            df.withColumn("_bucket", bucket_expr).withColumn("_one", F.lit(1)),
+            "_bucket",
+            order_names,
+            "_one",
+            out_col="_rn",
+        ).drop("_bucket", "_one")
+    else:
+        w = Window.orderBy(*[F.col(n_) for n_ in order_names])
+        ranked = df.withColumn("_rn", F.row_number().over(w))
+    return ranked.withColumn(
         out, F.when(F.col("_rn") <= cutoff, F.lit("train")).otherwise(F.lit("test"))
     ).drop("_rn")
 

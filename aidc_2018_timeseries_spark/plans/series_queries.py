@@ -190,10 +190,18 @@ def w10_zero_prepend(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, CASE WHEN rn <= cutoff THEN 'train' ELSE 'test' END AS split
     FROM r
     """,
-    doc="W13 first round(0.8*N) rows (time order) = train, rest = test",
+    doc="W13 first round(0.8*N) rows (time order) = train, rest = test. "
+    "Row indexing runs the two-level prefix-sum scale path (weekly ts "
+    "buckets ranked in parallel + a tiny bucket-offset relation) — "
+    "identical output to the oracle's single global ROW_NUMBER",
 )
 def w13_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = split.time_ordered_split(_events(spark, sf_dir), ORDER, train_ratio=0.8)
+    df = split.time_ordered_split(
+        _events(spark, sf_dir),
+        ORDER,
+        train_ratio=0.8,
+        bucket_expr=F.expr("ts div 604800000000000"),  # week-of-epoch (ns)
+    )
     return df.select("event_id", "split")
 
 
