@@ -70,6 +70,8 @@ HEADLINE = [
     "series_downsample_maxdev",
     "forecast_backtest_folds",
     "events_winsorize_by_type",
+    "events_concurrency_curve_global",
+    "embedding_random_projection",
 ]
 
 
