@@ -124,17 +124,34 @@ def hash_permutation_shuffle(
     needs from "shuffle the samples". Adds ``pos`` = 0-based permutation
     index. Cross-engine checkable since the key is md5 arithmetic.
 
-    Scale note: materializing ``pos`` needs a global sort (here a global
-    window — fine for bookkeeping/verification). At 100 TB, downstream
-    consumers just ``orderBy(h)`` (distributed range sort) or use the hash
-    directly as the batch key; the permutation is defined by the key, not
-    by this materialization.
+    Scale note: materializing ``pos`` is a global ranking, computed WITHOUT
+    a single-partition window: the hash's top 7 bits give 128 uniform
+    buckets (md5 keys can't skew), each bucket row-numbers in parallel,
+    and the two-level prefix-sum decomposition
+    (``intervals.hierarchical_running_sum``) stitches the bucket offsets —
+    exact integer arithmetic, identical to the oracle's one global
+    ROW_NUMBER. Downstream consumers at 100 TB can also skip ``pos``
+    entirely and ``orderBy(h)`` (distributed range sort); the permutation
+    is defined by the key, not by this materialization.
     """
     from aidc_2018_timeseries_spark.functions.hashing import hash64_seeded
+    from aidc_2018_timeseries_spark.operators.intervals import (
+        hierarchical_running_sum,
+    )
 
     h = hash64_seeded(F.col(id_col).cast("string"), f"shuf:{seed}")
-    w = Window.orderBy(h.asc(), F.col(id_col).asc())
-    return df.withColumn(pos_col, (F.row_number().over(w) - 1).cast("long"))
+    ranked = hierarchical_running_sum(
+        df.withColumn("_h", h)
+        .withColumn("_bucket", F.expr(f"_h div {1 << 53}"))
+        .withColumn("_one", F.lit(1)),
+        "_bucket",
+        ["_h", id_col],
+        "_one",
+        out_col="_rn",
+    )
+    return ranked.withColumn(pos_col, (F.col("_rn") - 1).cast("long")).drop(
+        "_h", "_bucket", "_one", "_rn"
+    )
 
 
 def hash_sample(
