@@ -494,3 +494,55 @@ def length_bucket_batches(
         "batch_id",
         F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
     )
+
+
+def bigram_lm_topk(
+    df: DataFrame, text_col: str, k: int = 3, min_count: int = 2
+) -> DataFrame:
+    """Corpus bigram language model, top-k continuations: for every word,
+    the k most frequent next words with their conditional probability
+    P(w2|w1) = count(w1 w2)/count(w1 ·). The classical count-based LM that
+    doubles as a corpus-quality probe (machine-generated/boilerplate text
+    shows abnormally peaked continuation distributions) and as the
+    statistics pass of phrase/collocation mining.
+
+    Plan: bigram explode is scan-local; ONE shuffle on (w1, w2) for the
+    pair counts; the per-w1 total and rank ride a window over the (much
+    smaller) counts relation partitioned by w1. Ranking is deterministic:
+    count desc, then w2 asc. At 100 TB the pair-counts relation is the
+    vocabulary squared at worst — still tiny next to the corpus — and the
+    min_count filter prunes the long tail before it is ever ranked.
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize(F.col(text_col))
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bg = (
+        df.select(toks.alias("toks"))
+        .select(F.explode(pairs).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    w_tot = Window.partitionBy("w1")
+    w_rank = Window.partitionBy("w1").orderBy(F.col("n_pair").desc(), F.col("w2"))
+    return (
+        counts.withColumn("tot", F.sum("n_pair").over(w_tot))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter((F.col("rank") <= k) & (F.col("n_pair") >= min_count))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("tot"), 6).alias("p_next"),
+            "rank",
+        )
+    )

@@ -745,3 +745,108 @@ def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = word_vocab(d, "text").localCheckpoint(eager=True)
     merges = train_bpe_merges(d, "text", n_merges=12, vocab=vocab)
     return bpe_token_counts(d, "doc_id", "text", merges, vocab=vocab)
+
+
+@register(
+    "text_bigram_lm_topk",
+    f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    g0 AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+    bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM g0),
+    c AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2),
+    w AS (SELECT *,
+                 CAST(SUM(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS tot,
+                 ROW_NUMBER() OVER (PARTITION BY w1
+                                    ORDER BY n_pair DESC, w2) AS rank
+          FROM c)
+    SELECT w1, w2, n_pair, ROUND(n_pair * 1.0 / tot, 6) AS p_next, rank
+    FROM w WHERE rank <= 3 AND n_pair >= 2
+    """,
+    doc="corpus bigram language model, top-3 continuations per word with "
+    "conditional probability P(w2|w1) — count-based LM statistics, "
+    "collocation mining, and a corpus-quality probe (generated/boiler "
+    "text shows peaked continuation distributions) in one face. Bigram "
+    "explode scan-local; one (w1,w2) shuffle; rank/total ride a window "
+    "over the counts relation; deterministic (count desc, w2) order",
+)
+def text_bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tx.bigram_lm_topk(d, "text", k=3, min_count=2)
+
+
+_SPLIT_H = hash64_sql("CONCAT('split:7:', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "text_split_leakage_audit",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks,
+                      CASE WHEN {_SPLIT_H} % 10 < 8 THEN 'train' ELSE 'test' END
+                        AS split
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id, split,
+                 array_to_string(toks[s.i : s.i + 7], ' ') AS g
+          FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS s(i)
+          WHERE len(toks) >= 8),
+    tr AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+    leaked AS (SELECT DISTINCT g.doc_id FROM g JOIN tr USING (g)
+               WHERE g.split = 'test')
+    SELECT (SELECT COUNT(*) FROM t WHERE split = 'train') AS n_train_docs,
+           (SELECT COUNT(*) FROM t WHERE split = 'test') AS n_test_docs,
+           (SELECT COUNT(*) FROM leaked) AS n_test_docs_leaked,
+           ROUND((SELECT COUNT(*) FROM leaked) * 1.0
+                 / (SELECT COUNT(*) FROM t WHERE split = 'test'), 6)
+             AS leak_frac
+    """,
+    doc="train/test split LEAKAGE audit: hash-split the corpus 80/20 "
+    "(deterministic md5 split key — reproducible across engines and "
+    "reruns), then count held-out docs sharing at least one exact 8-gram "
+    "with ANY training doc. The companion to dedup: a split is only as "
+    "held-out as the corpus is deduplicated, and this face measures "
+    "exactly that gap. Gram join is shuffle-keyed by the gram string "
+    "(train side is NOT broadcast — it is most of the corpus); the "
+    "audit relation reduces to one summary row",
+)
+def text_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.functions.hashing import hash64_seeded
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        tx.tokenize("text").alias("toks"),
+        F.when(
+            hash64_seeded(F.col("doc_id").cast("string"), "split:7") % 10 < 8,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    grams = F.when(
+        F.size("toks") >= 8,
+        F.expr(
+            "transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(
+        "doc_id", "split", F.explode(F.array_distinct(grams)).alias("g")
+    )
+    tr = g.filter(F.col("split") == "train").select("g").distinct()
+    leaked = (
+        g.filter(F.col("split") == "test")
+        .join(tr, "g")
+        .select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_test_docs_leaked"))
+    )
+    sides = base.groupBy().agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train_docs"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test_docs"),
+    )
+    return sides.crossJoin(leaked).select(
+        "n_train_docs",
+        "n_test_docs",
+        "n_test_docs_leaked",
+        F.round(F.col("n_test_docs_leaked") / F.col("n_test_docs"), 6).alias(
+            "leak_frac"
+        ),
+    )
