@@ -98,3 +98,54 @@ def connected_components(
     finally:
         und.unpersist()
     raise RuntimeError(f"connected_components: no fixpoint within {max_iter} rounds")
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank with a FIXED iteration count (power iteration, Brin/Page
+    '98) — the influence measure of any entity graph (supplier-customer
+    bipartite activity here; citation/link graphs generally). A fixed
+    round count (vs convergence-threshold) keeps the result a pure
+    function of the edge set, so the DuckDB oracle can restate it as a
+    recursive CTE with an iteration counter and the driver hash-checks
+    real iterative linear algebra.
+
+    Nodes = every distinct edge endpoint as SOURCE (symmetrize edges
+    before calling if the graph is undirected/bipartite — that also
+    removes dangling nodes, since every node then has out-degree >= 1).
+
+    Scale shape (same discipline as :func:`connected_components`): the
+    edge relation joins to out-degrees ONCE, is hash-partitioned by src
+    and cached; each of the ``iters`` rounds shuffles only the (node,
+    rank) table — one join + one partial-aggregated groupBy — and
+    ``localCheckpoint`` truncates lineage so Catalyst analysis stays
+    O(1) per round. Intermediate ranks stay UNROUNDED (summation-order
+    ulps are ~1e-15/round); only the returned rank is rounded to 6 dp.
+    """
+    spark = edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(deg, "u").repartition(n_part, "u").persist()
+
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contribs = ew.join(ranks, ew["u"] == ranks["node"]).select(
+            F.col("v").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c")
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    ew.unpersist()
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))

@@ -1870,3 +1870,54 @@ def events_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bad").cast("long").alias("n_quarantined"),
         F.sum("k").alias("sum_k_good"),
     )
+
+
+@register(
+    "graph_pagerank_activity",
+    """
+    WITH RECURSIVE
+    e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    nn AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM e),
+    pr(iter, node, rank) AS (
+      SELECT 0, src, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
+      FROM (SELECT DISTINCT src FROM e)
+      UNION ALL
+      SELECT iter + 1, e.dst,
+             CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+               + 0.85 * SUM(pr.rank / deg.outdeg)
+      FROM pr JOIN e ON e.src = pr.node JOIN deg ON deg.src = pr.node
+      WHERE iter < 5
+      GROUP BY iter, e.dst
+    )
+    SELECT node, ROUND(rank, 6) AS pagerank FROM pr WHERE iter = 5
+    """,
+    doc="PageRank (5 fixed power iterations, damping 0.85) over the "
+    "supplier-customer activity graph (symmetrized bipartite edges from "
+    "lineitem x orders) — real iterative linear algebra, hash-checked: "
+    "the oracle restates the identical recurrence as a recursive CTE "
+    "with an iteration counter. Spark loop caches the degree-weighted "
+    "edge relation once (partitioned by src); each round shuffles only "
+    "the (node, rank) table with map-side partial sums, lineage "
+    "truncated per round. Intermediate ranks unrounded; final 6 dp",
+)
+def graph_pagerank_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return pagerank(sym, iters=5, damping=0.85)
