@@ -72,6 +72,9 @@ HEADLINE = [
     "events_winsorize_by_type",
     "events_concurrency_curve_global",
     "embedding_random_projection",
+    "graph_pagerank_activity",
+    "text_bigram_lm_topk",
+    "text_split_leakage_audit",
 ]
 
 
