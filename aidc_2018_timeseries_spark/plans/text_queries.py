@@ -831,18 +831,26 @@ def text_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "split", F.explode(F.array_distinct(grams)).alias("g")
     )
     tr = g.filter(F.col("split") == "train").select("g").distinct()
-    leaked = (
+    leaked_ids = (
         g.filter(F.col("split") == "test")
         .join(tr, "g")
         .select("doc_id")
         .distinct()
-        .agg(F.count(F.lit(1)).alias("n_test_docs_leaked"))
+        .withColumn("is_leaked", F.lit(1))
     )
-    sides = base.groupBy().agg(
+    # Equi-join the leaked flag back onto the doc relation and fold ALL
+    # three counts in one aggregate — no 1-row crossJoin (it planned as a
+    # BroadcastNestedLoopJoin, tripping the plan audit even though both
+    # sides were single rows; this shape keeps the audit's zero-nested-loop
+    # invariant global).
+    tagged = base.select("doc_id", "split").join(leaked_ids, "doc_id", "left")
+    return tagged.groupBy().agg(
         F.sum((F.col("split") == "train").cast("long")).alias("n_train_docs"),
         F.sum((F.col("split") == "test").cast("long")).alias("n_test_docs"),
-    )
-    return sides.crossJoin(leaked).select(
+        F.sum(
+            ((F.col("split") == "test") & F.col("is_leaked").isNotNull()).cast("long")
+        ).alias("n_test_docs_leaked"),
+    ).select(
         "n_train_docs",
         "n_test_docs",
         "n_test_docs_leaked",

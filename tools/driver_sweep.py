@@ -8,7 +8,9 @@ repr-level equality after the same column-name sort the driver applies, and
 reports which queries would only pass approximately — each of those is a
 driver-hash risk to fix before the round ends.
 
-Usage: python tools/driver_sweep.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python tools/driver_sweep.py [sf_dir] [name ...]
+(default sf_dir /root/testdata/sf0.01; extra args restrict the sweep to
+those query names — the fast loop when hardening a handful of new faces)
 Prints one line per query; exit 1 if any EXACT mismatch or error.
 """
 
@@ -59,7 +61,7 @@ def _approx_eq(a, b):
     return a == b
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -68,6 +70,12 @@ def main(sf_dir: str) -> int:
 
     spark = get_spark()
     qs, oracles = queries(), oracle_sql()
+    if only:
+        missing = [n for n in only if n not in qs]
+        if missing:
+            print(f"unknown query names: {missing}")
+            return 1
+        qs = {n: qs[n] for n in only}
     n_exact = n_approx = n_bad = n_rows_only = 0
     for name in sorted(qs):
         t0 = time.time()
@@ -123,4 +131,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )
