@@ -134,3 +134,54 @@ def winsorize_by_group(
             "int"
         ),
     )
+
+
+def mad_outliers_by_group(
+    df: DataFrame,
+    group: str,
+    val_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier detection via median absolute deviation:
+    flag rows where |value − median| > k · 1.4826 · MAD (1.4826 scales MAD
+    to σ under normality — the textbook "robust z-score" rule). The
+    companion to :func:`winsorize_by_group`: winsorize CLIPS tails at fixed
+    percentiles, MAD FLAGS points abnormally far from the group's center —
+    the anomaly gate a sensor/metrics pipeline runs before training, since
+    one stuck sensor survives percentile clipping but not a MAD fence
+    (reference analogue: the all-zero-window guard of
+    ``datasets/timeseries.py`` is a degenerate anomaly filter; this is the
+    general robust-statistics form).
+
+    Median and MAD are exact interpolated percentiles rounded to 6 dp
+    before any comparison, so cross-engine interpolation ulps cannot flip
+    a boundary row's flag; the deviation itself is exact double
+    arithmetic on both engines.
+
+    Scale: two partial-aggregated shuffles, each reducing to ONE ROW PER
+    GROUP (median pass, then MAD pass over deviations), each joined back
+    by broadcast — the event scan itself never reshuffles. Swap
+    ``percentile`` → ``percentile_approx`` when a single group's values
+    exceed task memory (plan shape unchanged).
+    """
+    med = df.groupBy(group).agg(
+        F.round(F.percentile(val_col, F.lit(0.5)), 6).alias("med")
+    )
+    with_med = df.join(F.broadcast(med), group).withColumn(
+        "dev", F.abs(F.col(val_col) - F.col("med"))
+    )
+    mad = with_med.groupBy(group).agg(
+        F.round(F.percentile("dev", F.lit(0.5)), 6).alias("mad")
+    )
+    joined = with_med.join(F.broadcast(mad), group)
+    fence = F.round(F.lit(k * 1.4826) * F.col("mad"), 6)
+    return joined.select(
+        *df.columns,
+        "med",
+        "mad",
+        F.when(
+            F.col("mad") > 0,
+            F.round(F.col("dev") / (F.lit(1.4826) * F.col("mad")), 6),
+        ).alias("robust_z"),
+        (F.col("dev") > fence).cast("int").alias("is_outlier"),
+    )

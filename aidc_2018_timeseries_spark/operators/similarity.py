@@ -551,3 +551,86 @@ def random_projection(
     return vectors.select(
         F.col(id_col), F.explode(F.array(*comps)).alias("_c")
     ).select(id_col, F.col("_c.comp_id").alias("comp_id"), F.col("_c.coord").alias("coord"))
+
+
+def pq_assign_codes(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+) -> DataFrame:
+    """Product quantization assignment: split each vector into ``m``
+    contiguous subspaces and replace every subvector with the id of its
+    nearest codeword from a per-subspace codebook of ``k`` entries — the
+    compression layer under billion-scale ANN (a 64-dim float32 vector is
+    256 bytes raw, ``m`` bytes as PQ codes: 32× smaller, and asymmetric
+    distance evaluation against codes needs only an m × k lookup table
+    per query). Output: one (id, subspace, code, dist) row per subspace,
+    ``dist`` = 6-dp-rounded squared L2 between the subvector and its
+    chosen codeword (the per-subspace reconstruction error, whose sum
+    over subspaces is the vector's total quantization error).
+
+    Codebooks here are a deterministic init — the subvector slices of the
+    ``k`` lowest-id vectors (collected driver-side: k × dim floats, a
+    bounded one-off index-build step exactly like the IVF centroid
+    build). Real PQ training refines each subspace codebook with Lloyd
+    iterations — each iteration IS ``kmeans_step_centroids`` run on the
+    slice — so the training loop composes from already-verified parts.
+
+    Scale: assignment is a pure scan — the codebook enters the plan as
+    m × k × (dim/m) literals folded into whole-stage codegen; no shuffle,
+    no Python. Ties on the rounded distance break to the LOWEST code id
+    (struct min over (dist, code)), reproducible across engines.
+    """
+    rows = vectors.orderBy(id_col).limit(k).collect()
+    if len(rows) < k:
+        raise ValueError(f"need at least {k} vectors to seed the codebook")
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    books = [
+        [[float(r[vec_col][s * subdim + j]) for j in range(subdim)] for r in rows]
+        for s in range(m)
+    ]
+
+    def dist(s: int, cvec: list[float]):
+        # zip_with + aggregate (left fold, j ascending — identical IEEE
+        # accumulation order to the oracle's left-associated sum; the
+        # leading 0.0 + t1 is exact since every term is ≥ 0). A fully
+        # unrolled literal sum was tried first: 1024 terms per row blew
+        # the codegen method limit and fell back to interpreted eval —
+        # this form keeps the tree small enough to stay compiled.
+        sub = F.slice(F.col(vec_col), s * subdim + 1, subdim)
+        sq = F.zip_with(
+            sub,
+            F.array(*[F.lit(v) for v in cvec]),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        )
+        return F.round(
+            F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 6
+        )
+
+    best = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        dist(s, books[s][c]).alias("dist"),
+                        F.lit(c).cast("int").alias("code"),
+                    )
+                    for c in range(k)
+                ]
+            )
+        )
+        for s in range(m)
+    ]
+    return vectors.select(
+        id_col, F.posexplode(F.array(*best)).alias("subspace", "bc")
+    ).select(
+        id_col,
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("bc.code").alias("code"),
+        F.col("bc.dist").alias("dist"),
+    )

@@ -870,3 +870,34 @@ def events_winsorize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_winsorized").alias("value_winsorized"),
         "is_clipped",
     )
+
+
+@register(
+    "events_anomaly_mad",
+    """
+    WITH m AS (SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+               FROM events GROUP BY event_type),
+    d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                 ABS(e.value - m.med) AS dev
+          FROM events e JOIN m USING (event_type)),
+    md AS (SELECT event_type, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+           FROM d GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value, d.med, md.mad,
+           CASE WHEN md.mad > 0
+                THEN ROUND(d.dev / (1.4826 * md.mad), 6) END AS robust_z,
+           CASE WHEN d.dev > ROUND(3.0 * 1.4826 * md.mad, 6)
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM d JOIN md USING (event_type)
+    """,
+    doc="robust anomaly flags per event type: |value - median| > 3 x "
+    "1.4826 x MAD (median absolute deviation) -- the robust z-score fence "
+    "that catches a stuck/spiking sensor which percentile winsorization "
+    "(events_winsorize_by_type) would clip silently. Two one-row-per-group "
+    "partial-agg shuffles (median, then MAD over deviations), each "
+    "broadcast-joined back; the event scan never reshuffles. Median/MAD "
+    "rounded to 6 dp before the fence comparison so cross-engine "
+    "interpolation ulps cannot flip a boundary flag",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return normalize.mad_outliers_by_group(e, "event_type", "value", k=3.0)

@@ -266,3 +266,53 @@ def _random_projection_oracle() -> str:
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings")
     return sim.random_projection(v, _RP_DIM, _RP_OUT, _RP_SEED)
+
+
+_PQ_M, _PQ_K, _PQ_SUBDIM = 8, 16, 8
+
+
+def _pq_oracle() -> str:
+    """DuckDB mirror of pq_assign_codes: codebook = subvector slices of
+    the 16 lowest-vec_id embeddings; squared-L2 written as the SAME
+    explicit left-associated 8-term sum the Spark expression folds, so
+    both engines accumulate in identical IEEE order before the 6-dp
+    round."""
+    terms = " + ".join(
+        f"(CAST(e.embedding[sub.s*{_PQ_SUBDIM}+{j}] AS DOUBLE)"
+        f" - CAST(c.embedding[sub.s*{_PQ_SUBDIM}+{j}] AS DOUBLE))"
+        f" * (CAST(e.embedding[sub.s*{_PQ_SUBDIM}+{j}] AS DOUBLE)"
+        f" - CAST(c.embedding[sub.s*{_PQ_SUBDIM}+{j}] AS DOUBLE))"
+        for j in range(1, _PQ_SUBDIM + 1)
+    )
+    return f"""
+    WITH cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+                         embedding
+                  FROM (SELECT vec_id, embedding FROM embeddings
+                        ORDER BY vec_id LIMIT {_PQ_K})),
+    sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+    d AS (SELECT e.vec_id, sub.s AS subspace, c.code,
+                 ROUND({terms}, 6) AS dist
+          FROM embeddings e CROSS JOIN sub CROSS JOIN cent c)
+    SELECT vec_id, CAST(subspace AS INT) AS subspace,
+           CAST(code AS INT) AS code, dist
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                       ORDER BY dist, code) AS rn FROM d)
+    WHERE rn = 1
+    """
+
+
+@register(
+    "embedding_pq_codes",
+    _pq_oracle(),
+    doc="product quantization codes: each 64-dim vector split into 8 "
+    "subspaces of 8 dims, each subvector replaced by its nearest of 16 "
+    "codewords (squared L2, 6-dp rounded, ties to lowest code) — the "
+    "32x compression layer under billion-scale ANN. Codebook = slices "
+    "of the 16 lowest-id vectors (deterministic init; Lloyd refinement "
+    "= kmeans_step_centroids per subspace). Assignment is a pure scan: "
+    "codebook literals fold into whole-stage codegen, no shuffle, no "
+    "Python; the oracle cross-joins the same codebook relation",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_assign_codes(v, m=_PQ_M, k=_PQ_K)

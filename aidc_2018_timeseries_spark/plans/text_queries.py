@@ -858,3 +858,41 @@ def text_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leak_frac"
         ),
     )
+
+
+@register(
+    "text_bigram_perplexity",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+           FROM t WHERE len(toks) >= 2),
+    bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM g0),
+    pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2),
+    sc AS (SELECT w1, COUNT(*) AS n_start FROM bg GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(toks) AS w FROM t)),
+    s AS (SELECT bg.doc_id,
+                 ln((pc.n_pair + 1.0) / (sc.n_start + v.v)) AS lp
+          FROM bg JOIN pc USING (w1, w2) JOIN sc USING (w1) CROSS JOIN v),
+    a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 ROUND(AVG(lp), 6) AS avg_logprob
+          FROM s GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           a.avg_logprob,
+           ROUND(EXP(-a.avg_logprob), 6) AS perplexity
+    FROM t LEFT JOIN a USING (doc_id)
+    """,
+    doc="per-document LM fluency score: mean add-1-smoothed bigram log-"
+    "probability under the corpus's own bigram model, plus perplexity — "
+    "the KenLM-style quality filter of CCNet/Gopher-class curation "
+    "pipelines, self-trained (no external artifact; text_bigram_lm_topk "
+    "is the same model's continuation view). Bigram explode scan-local; "
+    "pair/start counts are vocabulary-bound partial-agg shuffles; V joins "
+    "via a constant key (broadcast hash, not a nested loop); perplexity "
+    "is exp of the ROUNDED mean so only the mean's ~1e-14 summation ulps "
+    "ever face the 6-dp grain",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tx.bigram_logprob_score(d, "doc_id", "text")

@@ -1,0 +1,127 @@
+"""Semantic invariants for the round-5 operators: MAD outlier fence,
+blocked edit-distance pairing, product-quantization codes, bigram-LM
+perplexity. Cross-engine value parity is covered by test_oracle_parity /
+tools/driver_sweep; these tests pin the BEHAVIOR on constructed inputs
+where the right answer is known by hand.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.operators.dedup import blocked_edit_distance_pairs
+from aidc_2018_timeseries_spark.operators.normalize import mad_outliers_by_group
+from aidc_2018_timeseries_spark.operators.similarity import pq_assign_codes
+from aidc_2018_timeseries_spark.operators.text import bigram_logprob_score
+
+
+# --- MAD outliers -----------------------------------------------------------
+
+
+def test_mad_flags_planted_spike_not_bulk(spark):
+    # 99 values tightly around 10, one spike at 1000: the spike must be
+    # flagged, the bulk must not, and the fence must be robust to the
+    # spike itself (median/MAD barely move, unlike mean/sigma).
+    rows = [("g", 10.0 + (i % 7) * 0.1) for i in range(99)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = mad_outliers_by_group(df, "grp", "value", k=3.0).collect()
+    flagged = {r["value"] for r in out if r["is_outlier"] == 1}
+    assert flagged == {1000.0}
+    one = next(r for r in out if r["value"] == 1000.0)
+    assert one["med"] < 11.0  # median unmoved by the spike
+    assert one["robust_z"] > 100  # spike is hundreds of robust sigmas out
+
+
+def test_mad_zero_mad_group_flags_any_deviation_null_z(spark):
+    # constant group: MAD = 0 -> robust_z NULL, fence = 0, so any row off
+    # the median is an outlier and the constant rows are not.
+    rows = [("c", 5.0)] * 10 + [("c", 5.1)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = mad_outliers_by_group(df, "grp", "value").collect()
+    assert all(r["robust_z"] is None for r in out)
+    assert sum(r["is_outlier"] for r in out) == 1
+
+
+# --- blocked edit distance --------------------------------------------------
+
+
+def test_blocked_edit_distance_finds_typo_pair_within_block(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "en"),
+            (2, "the quick brwon fox leaps", "en"),  # transposition, same block
+            (3, "a completely different title here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = blocked_edit_distance_pairs(
+        df, "doc_id", "text", block_cols=["lang"], prefix_tokens=4, max_dist=3
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+    assert out[0]["title_dist"] == 2  # 'brown' -> 'brwon' transposition
+
+
+def test_blocked_edit_distance_blocking_tradeoff_first_token(spark):
+    # identical titles except the FIRST token -> different blocks -> the
+    # pair is (by documented design) not produced by this pass.
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en"), (2, "omega beta gamma delta", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = blocked_edit_distance_pairs(df, "doc_id", "text", block_cols=["lang"])
+    assert out.count() == 0
+
+
+# --- product quantization ---------------------------------------------------
+
+
+def test_pq_codes_shape_and_self_assignment(spark):
+    # 20 deterministic 8-dim vectors, m=4 subspaces of 2 dims, k=4 codes.
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_assign_codes(df, m=4, k=4).collect()
+    assert len(out) == 20 * 4  # one row per (vector, subspace)
+    assert all(0 <= r["code"] < 4 for r in out)
+    assert all(r["dist"] >= 0.0 for r in out)
+    # a seed vector quantizes to its own slice with zero error
+    for r in out:
+        if r["vec_id"] == 2:
+            assert r["dist"] == 0.0 and r["code"] == 2
+
+
+def test_pq_total_error_below_worst_codeword(spark):
+    # chosen code's distance must be <= distance to codeword 0 (argmin).
+    rows = [(i, [math.sin(i * 7 + j) for j in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_assign_codes(df, m=2, k=8)
+    per_vec = (
+        out.groupBy("vec_id").agg(F.sum("dist").alias("err")).collect()
+    )
+    assert all(r["err"] >= 0 for r in per_vec)
+    # seeds (ids 0..7) reconstruct exactly
+    seed_err = {r["vec_id"]: r["err"] for r in per_vec if r["vec_id"] < 8}
+    assert all(v == 0.0 for v in seed_err.values())
+
+
+# --- bigram perplexity ------------------------------------------------------
+
+
+def test_bigram_logprob_common_beats_rare_and_short_docs_null(spark):
+    df = spark.createDataFrame(
+        [(i, "a b a b a b") for i in range(9)]
+        + [(100, "x y"), (200, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob_score(df, "doc_id", "text").collect()}
+    # the doc made of corpus-dominant bigrams scores higher than the rare one
+    assert out[0]["avg_logprob"] > out[100]["avg_logprob"]
+    # single-token doc: no bigrams, NULL score, present in output
+    assert out[200]["n_bigrams"] == 0 and out[200]["avg_logprob"] is None
+    # perplexity = exp(-rounded mean), rounded
+    for d in (0, 100):
+        expect = round(math.exp(-out[d]["avg_logprob"]), 6)
+        assert abs(out[d]["perplexity"] - expect) < 1e-9
+    # identical docs score identically
+    assert out[0]["avg_logprob"] == out[8]["avg_logprob"]
