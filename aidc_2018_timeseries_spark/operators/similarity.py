@@ -559,6 +559,7 @@ def pq_assign_codes(
     vec_col: str = "embedding",
     m: int = 8,
     k: int = 16,
+    arrow: bool = True,
 ) -> DataFrame:
     """Product quantization assignment: split each vector into ``m``
     contiguous subspaces and replace every subvector with the id of its
@@ -578,10 +579,19 @@ def pq_assign_codes(
     iterations — each iteration IS ``kmeans_step_centroids`` run on the
     slice — so the training loop composes from already-verified parts.
 
-    Scale: assignment is a pure scan — the codebook enters the plan as
-    m × k × (dim/m) literals folded into whole-stage codegen; no shuffle,
-    no Python. Ties on the rounded distance break to the LOWEST code id
-    (struct min over (dist, code)), reproducible across engines.
+    Scale: assignment is a pure scan either way — no shuffle, and the
+    codebook rides into the plan as literals (expression form) or a
+    closed-over constant (Arrow form). The DEFAULT is the Arrow batch
+    kernel: the expression form pays ~10M higher-order-lambda dispatches
+    per 5k vectors (m × k zip_with/aggregate folds per row — measured
+    6.3s at sf0.1 vs sub-second Arrow), while the Arrow kernel runs the
+    same m × k × subdim arithmetic as vectorized NumPy with an EXPLICIT
+    sequential j-loop, reproducing the expression/oracle left-fold IEEE
+    accumulation order bit-for-bit; the final 6-dp round runs Spark-side
+    (exact HALF_UP on the binary value) in both forms. Ties on the
+    rounded distance break to the LOWEST code id, reproducible across
+    engines; ``arrow=False`` keeps the pure-Catalyst sibling (parity of
+    the two forms is pinned in tests/test_round5_ops.py).
     """
     rows = vectors.orderBy(id_col).limit(k).collect()
     if len(rows) < k:
@@ -594,6 +604,51 @@ def pq_assign_codes(
         [[float(r[vec_col][s * subdim + j]) for j in range(subdim)] for r in rows]
         for s in range(m)
     ]
+
+    if arrow:
+        import numpy as np
+        import pandas as pd
+
+        id_t = vectors.schema[id_col].dataType.simpleString()
+        B = np.array(books, dtype=np.float64)  # (m, k, subdim)
+
+        def gen(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                n = len(pdf)
+                codes = np.empty((n, m), dtype=np.int32)
+                dists = np.empty((n, m), dtype=np.float64)
+                for s in range(m):
+                    sub = V[:, s * subdim : (s + 1) * subdim]
+                    acc = np.zeros((n, k))
+                    # sequential j accumulation — the same left-fold IEEE
+                    # order as the aggregate() expression and the oracle's
+                    # left-associated sum (pairwise np.sum would differ in
+                    # ulps and risk the 6-dp hash)
+                    for j in range(subdim):
+                        d = sub[:, j : j + 1] - B[s, :, j]
+                        acc += d * d
+                    r6 = np.round(acc, 6)
+                    best = np.argmin(r6, axis=1)  # first (lowest) code wins ties
+                    codes[:, s] = best
+                    dists[:, s] = acc[np.arange(n), best]
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].to_numpy(), m),
+                        "subspace": np.tile(np.arange(m, dtype=np.int32), n),
+                        "code": codes.reshape(-1),
+                        "dist_raw": dists.reshape(-1),
+                    }
+                )
+
+        out = vectors.select(id_col, vec_col).mapInPandas(
+            gen, schema=f"{id_col} {id_t}, subspace int, code int, dist_raw double"
+        )
+        return out.select(
+            id_col, "subspace", "code", F.round("dist_raw", 6).alias("dist")
+        )
 
     def dist(s: int, cvec: list[float]):
         # zip_with + aggregate (left fold, j ascending — identical IEEE

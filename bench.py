@@ -75,6 +75,12 @@ HEADLINE = [
     "graph_pagerank_activity",
     "text_bigram_lm_topk",
     "text_split_leakage_audit",
+    # added round 5d (subtract when comparing against earlier totals):
+    # robust stats, record linkage, PQ compression, LM quality scoring
+    "events_anomaly_mad",
+    "dedup_blocked_edit_distance",
+    "embedding_pq_codes",
+    "text_bigram_perplexity",
 ]
 
 

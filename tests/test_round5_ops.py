@@ -105,6 +105,17 @@ def test_pq_total_error_below_worst_codeword(spark):
     assert all(v == 0.0 for v in seed_err.values())
 
 
+def test_pq_arrow_and_expression_forms_identical(spark, sf_dir):
+    # the Arrow batch kernel must reproduce the pure-Catalyst expression
+    # form bit-for-bit (same left-fold accumulation, Spark-side rounding)
+    from aidc_2018_timeseries_spark.sources.tables import load_table
+
+    v = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, pq_assign_codes(v, m=8, k=16, arrow=True).collect()))
+    e = sorted(map(tuple, pq_assign_codes(v, m=8, k=16, arrow=False).collect()))
+    assert a == e
+
+
 # --- bigram perplexity ------------------------------------------------------
 
 
