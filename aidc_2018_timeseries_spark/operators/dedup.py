@@ -438,6 +438,7 @@ def blocked_edit_distance_pairs(
     block_cols: list[str] | None = None,
     prefix_tokens: int = 4,
     max_dist: int = 3,
+    block_size_cap: int | None = None,
 ) -> DataFrame:
     """Entity-resolution-style near-duplicate pairing by EDIT DISTANCE
     under blocking: build a short "title" key (the first ``prefix_tokens``
@@ -456,12 +457,16 @@ def blocked_edit_distance_pairs(
     pairs, each pass this exact shape.
 
     Scale: one shuffle keyed by the blocking key; pair generation is
-    quadratic ONLY within a block, so the key must keep blocks bounded
-    (here: lang × leading token × length bucket). At 100 TB add a
-    ``block_size_cap`` guard — count rows per block and divert oversized
-    blocks (skewed keys) to a stronger key or a MinHash pass — the same
-    skew relief the salted-join face demonstrates. Levenshtein runs
-    JVM-side (Catalyst ``levenshtein``), no Python in the plan.
+    quadratic ONLY within a block, so the key must keep blocks bounded.
+    ``block_size_cap`` is the skew guard: blocks with more rows are
+    EXCLUDED from pairing (their candidate count is quadratic in the
+    block size — the round-5 10× audit measured a fully-duplicated
+    corpus growing candidates 105× for 10× rows; a production run
+    diverts those blocks to a stronger key or the MinHash pass, the same
+    skew relief the salted-join face demonstrates). The size relation is
+    block-count-bound (vocabulary-sized), joined back on the block key.
+    Levenshtein runs JVM-side (Catalyst ``levenshtein``), no Python in
+    the plan.
     """
     toks = tokenize(F.col(text_col))
     title = F.array_join(F.slice(toks, 1, prefix_tokens), " ")
@@ -473,6 +478,13 @@ def blocked_edit_distance_pairs(
         F.floor(F.length(title) / 4).alias("_lbucket"),
     )
     block_key = [*(block_cols or []), "_tok1", "_lbucket"]
+    if block_size_cap is not None:
+        sizes = keyed.groupBy(block_key).count()
+        keyed = (
+            keyed.join(sizes, block_key)
+            .filter(F.col("count") <= block_size_cap)
+            .drop("count")
+        )
     a = keyed.select(
         *block_key,
         F.col(id_col).alias("id_a"),

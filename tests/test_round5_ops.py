@@ -74,6 +74,24 @@ def test_blocked_edit_distance_blocking_tradeoff_first_token(spark):
     assert out.count() == 0
 
 
+def test_blocked_edit_distance_cap_excludes_skewed_block(spark):
+    # 6 near-identical titles in one block (15 candidate pairs) + one
+    # 2-row block: cap=5 must drop the skewed block entirely while the
+    # small block still pairs — the 100 TB skew relief valve.
+    rows = [(i, f"common title words here variant{i}", "en") for i in range(6)]
+    rows += [(10, "rare block title text alpha", "en"),
+             (11, "rare block title text alphb", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    capped = blocked_edit_distance_pairs(
+        df, "doc_id", "text", block_cols=["lang"], block_size_cap=5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(10, 11)}
+    uncapped = blocked_edit_distance_pairs(
+        df, "doc_id", "text", block_cols=["lang"]
+    ).count()
+    assert uncapped > 1  # the skewed block pairs only without the cap
+
+
 # --- product quantization ---------------------------------------------------
 
 
