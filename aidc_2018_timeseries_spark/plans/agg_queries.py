@@ -382,3 +382,54 @@ def events_concurrency_curve_global(spark: SparkSession, sf_dir: str) -> DataFra
         (F.expr("ts div 1000") + F.lit(600_000_000)).alias("end_us"),
     )
     return concurrency_curve_global(e, "start_us", "end_us", "event_id")
+
+
+@register(
+    "agg_incremental_merge",
+    """
+    SELECT event_type,
+           CAST(user_id % 100 AS BIGINT) AS user_mod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type, user_id % 100
+    """,
+    doc="incremental aggregate maintenance (materialized-view merge): the "
+    "standing MV holds per-(event_type, user_id%100) count/sum partials "
+    "over the base corpus; a new 10%% ingest batch is aggregated ALONE "
+    "and merged into the MV by summing partials — the base raw rows are "
+    "never rescanned. The oracle recomputes the aggregate from scratch "
+    "over everything: hash equality proves merge == recompute, i.e. "
+    "count/sum are correctly mergeable partials (the algebraic-aggregate "
+    "property every streaming MV and every OLAP cube build rests on). "
+    "At 100 TB the MV relation is group-cardinality-sized, so "
+    "maintenance cost = delta scan + one tiny merge shuffle, vs a full "
+    "recompute's corpus scan. AVG/stddev maintain the same way from "
+    "(count, sum, sum-of-squares); exact DISTINCT does not — that is "
+    "what the mergeable-HLL face (agg_hll_sketch_rollup) is for",
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 100).alias("user_mod"),
+        "value",
+    )
+    # deterministic 90/10 base/batch split (a day's ingest)
+    base = ev.filter(F.col("event_id") % 10 < 9)
+    delta = ev.filter(F.col("event_id") % 10 == 9)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "user_mod").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        )
+
+    merged = (
+        partials(base)
+        .unionByName(partials(delta))
+        .groupBy("event_type", "user_mod")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s"), 4).alias("sum_value"),
+        )
+    )
+    return merged.select("event_type", "user_mod", "n_events", "sum_value")

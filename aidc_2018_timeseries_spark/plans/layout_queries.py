@@ -208,3 +208,85 @@ def layout_range_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.round(F.sum("sum_value"), 4).alias("total_value"),
     )
+
+
+def zorder_value(ub, vb, bits: int = 8):
+    """Morton/Z-order interleave of two ``bits``-bit bucket columns: bit i
+    of ``ub`` lands at position 2i+1, bit i of ``vb`` at 2i. Pure integer
+    arithmetic (shift/and/or), identical on any engine — though no oracle
+    ever needs it: the z-value only steers LAYOUT and is dropped before
+    the data is read back."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(ub, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+            .bitwiseOR(F.shiftleft(F.shiftright(vb, i).bitwiseAND(F.lit(1)), 2 * i))
+        )
+    return z
+
+
+def zorder_clustered_events(
+    spark: SparkSession, sf_dir: str, n_ranges: int = 16
+) -> DataFrame:
+    """Write events Z-ORDER clustered on (user_id, value) and return the
+    read-back frame. Bucketize both dimensions to 8 bits (user_id/8
+    capped, value×2.56 capped — value lives in [0,100]), interleave into
+    a 16-bit Morton code, range-partition + sort on it, drop the code at
+    write. Each file then covers a compact RECTANGLE in (user_id, value)
+    space instead of a slab: min/max stats stay tight on BOTH columns, so
+    predicates on EITHER dimension skip files — what single-key range
+    clustering (`layout_range_cluster`) can only do for its one key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ub = F.least(F.floor(F.col("user_id") / 8), F.lit(255)).cast("int")
+    vb = F.least(F.floor(F.col("value") * 2.56), F.lit(255)).cast("int")
+    path = tempfile.mkdtemp(prefix="aidc_zorder_")
+    (
+        ev.withColumn("_z", zorder_value(ub, vb))
+        .repartitionByRange(n_ranges, "_z")
+        .sortWithinPartitions("_z", "event_id")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
+@register(
+    "layout_zorder_cluster",
+    """
+    WITH hits AS (
+      SELECT event_type, user_id, value FROM events
+      WHERE user_id BETWEEN 100 AND 199 AND value BETWEEN 40.0 AND 60.0)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 4) AS total_value
+    FROM hits GROUP BY event_type
+    """,
+    doc="Z-order (Morton-curve) multi-dimensional clustering: events are "
+    "written range-partitioned + sorted on the 16-bit interleave of "
+    "bucketized (user_id, value), so every file covers a compact "
+    "rectangle of the 2-D key space and parquet min/max stats prune "
+    "files for predicates on EITHER column — the OPTIMIZE ZORDER BY "
+    "layout under lakehouse engines, restated as pure open-source "
+    "Spark. The read-back filters BOTH dimensions; the oracle runs the "
+    "same filter over raw events (layout must be row-invisible; "
+    "matching hashes also prove the write+read round trip lossless). "
+    "Pruning effectiveness on both dims is pinned in "
+    "tests/test_layout_faces.py",
+)
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    back = zorder_clustered_events(spark, sf_dir)
+    return (
+        back.where(
+            F.col("user_id").between(100, 199) & F.col("value").between(40.0, 60.0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

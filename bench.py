@@ -81,6 +81,10 @@ HEADLINE = [
     "dedup_blocked_edit_distance",
     "embedding_pq_codes",
     "text_bigram_perplexity",
+    # added round 5e: multi-dim clustering (write+read cost, like the
+    # other layout faces) and MV merge maintenance
+    "layout_zorder_cluster",
+    "agg_incremental_merge",
 ]
 
 

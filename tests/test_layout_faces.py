@@ -119,3 +119,59 @@ def test_dpp_join_prunes_fact_partitions(spark):
     )
     plan = _formatted(joined)
     assert "dynamicpruningexpression" in plan.lower(), plan
+
+
+def test_zorder_files_prune_on_both_dimensions(spark):
+    """Z-order's whole point vs single-key clustering: per-file min/max
+    stats must be selective on BOTH interleaved dimensions. For the face's
+    2-D probe (user_id 100-199, value 40-60), a nontrivial number of files
+    must be skippable by the user_id stats AND a nontrivial number by the
+    value stats — single-key clustering on user_id gives ~zero value-side
+    pruning (every file spans the full value range)."""
+    from aidc_2018_timeseries_spark.plans.layout_queries import (
+        range_clustered_events,
+        zorder_clustered_events,
+    )
+
+    zback = zorder_clustered_events(spark, SF_DIR)
+    per_file = (
+        zback.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+            F.min("value").alias("vlo"), F.max("value").alias("vhi"),
+        )
+        .collect()
+    )
+    assert len(per_file) > 4, "expected multiple z-range files"
+    u_skipped = sum(1 for r in per_file if r.uhi < 100 or r.ulo > 199)
+    v_skipped = sum(1 for r in per_file if r.vhi < 40.0 or r.vlo > 60.0)
+    assert u_skipped > 0, "no file skippable on user_id stats"
+    assert v_skipped > 0, "no file skippable on value stats"
+
+    # contrast: the single-key user_id clustering spans the full value
+    # range in (almost) every file -> no value-side pruning
+    rback = range_clustered_events(spark, SF_DIR)
+    r_files = (
+        rback.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("value").alias("vlo"), F.max("value").alias("vhi"))
+        .collect()
+    )
+    r_v_skipped = sum(1 for r in r_files if r.vhi < 40.0 or r.vlo > 60.0)
+    assert v_skipped > r_v_skipped
+
+
+def test_zorder_both_filters_pushed_to_scan(spark):
+    from aidc_2018_timeseries_spark.plans.layout_queries import (
+        zorder_clustered_events,
+    )
+
+    back = zorder_clustered_events(spark, SF_DIR)
+    plan = _formatted(
+        back.where(
+            F.col("user_id").between(100, 199) & F.col("value").between(40.0, 60.0)
+        )
+    )
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(user_id,100\)", plan), plan
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(value,40\.0\)", plan), plan
