@@ -502,3 +502,81 @@ def blocked_edit_distance_pairs(
         .filter(F.col("title_dist") <= max_dist)
     )
     return pairs.select("id_a", "id_b", *(block_cols or []), "title_dist")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT ≥ threshold — the ASYMMETRIC sibling of
+    :func:`ngram_jaccard_pairs`: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+    Jaccard misses the quote/subset/wrapper cases entirely (a doc fully
+    embedded in one 10× longer has Jaccard ≤ 0.1 but containment 1.0);
+    containment is how curation pipelines catch wire-copy embedding,
+    quotation farms, and template-wrapped bodies. Output is DIRECTIONAL:
+    (id_a, id_b, containment) means a's shingles are ≥ t covered by b's.
+
+    Prefix filtering adapts to the asymmetry: only the A side can be
+    prefix-pruned (C(A→B) ≥ t forces B to share one of A's first
+    |A| − ⌈t·|A|⌉ + 1 rare-first shingles), while the B side must index
+    its FULL shingle set — B may be arbitrarily larger, that is the
+    point. The size filter is one-sided too: |B| ≥ t·|A|. Because the B
+    side is full postings, hot (boilerplate) shingles make the candidate
+    join quadratic in their document frequency; ``max_df`` caps the B
+    postings to discriminative shingles (lossy ONLY for pairs whose
+    entire overlap is boilerplate shingles — exactly the pairs a
+    curation pass does not want), the same relief valve as the
+    edit-distance blocker's ``block_size_cap``. Survivors verify exactly
+    JVM-side on the full distinct-shingle arrays; the ratio stays
+    UNROUNDED (exact-integer division is bit-deterministic on both
+    engines, rounding can only break parity).
+    """
+    hashed = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        shingle_hashes(F.col(text_col), n=shingle_n).alias("sh"),
+    )
+    sh = hashed.select(
+        "doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    eps = 1e-9
+    wdf = Window.partitionBy("shingle")
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(eps)) + 1
+    ).cast("int")
+    with_df = sh.withColumn("df", F.count(F.lit(1)).over(wdf))
+    pref = (
+        with_df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    )
+    full = with_df
+    if max_df is not None:
+        full = full.filter(F.col("df") <= max_df)
+    full = full.select(
+        F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    cand = (
+        pref.join(
+            full,
+            (pref["shingle"] == full["shingle"])
+            & (pref["id_a"] != full["id_b"])
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(eps)),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = hashed.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = hashed.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("containment", n_common / F.size("sh_a"))
+        .filter(F.col("containment") >= F.lit(threshold) - F.lit(eps))
+        .select("id_a", "id_b", "containment")
+    )

@@ -677,3 +677,36 @@ def dedup_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("title_dist").cast("int").alias("title_dist"),
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    f"""
+    WITH t AS (SELECT doc_id, {_SH30} AS sh
+               FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+    sh AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t),
+    inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.n_sh AS size_a,
+             COUNT(*) AS n_common
+      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id <> r.doc_id
+      GROUP BY 1, 2, 3)
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / size_a AS containment
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / size_a >= 0.9 - 1e-9
+    """,
+    doc="exact 3-gram CONTAINMENT >= 0.9, directional (id_a's shingles "
+    "covered by id_b's) — the asymmetric dedup Jaccard cannot see: a doc "
+    "embedded verbatim in one 10x longer has Jaccard <= 0.1 but "
+    "containment 1.0 (wire-copy embedding, quotation farms, template-"
+    "wrapped bodies). One-sided prefix filter (only the contained side "
+    "prunes; the container side indexes full postings by necessity), "
+    "one-sided size filter |B| >= t|A|, exact JVM-side verification; "
+    "ratio unrounded (exact-integer division). The oracle restates the "
+    "naive posting join - prefix filtering must be lossless",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_containment_pairs(
+        d, "doc_id", "text", shingle_n=_SHINGLE_N, threshold=0.9
+    )

@@ -896,3 +896,56 @@ def text_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return tx.bigram_logprob_score(d, "doc_id", "text")
+
+
+@register(
+    "text_quality_percentile_by_lang",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS DOUBLE) AS n,
+             CAST(len(list_filter(toks, x -> x IN ({_in_list(tx.LANG_STOPWORDS["en"])})))
+                  AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct
+      FROM t),
+    q AS (SELECT doc_id, lang,
+                 ROUND(0.4 * LEAST(n_stop / n * 5.0, 1.0)
+                       + 0.3 * (n_distinct / n)
+                       + 0.3 * (LEAST(n, 200.0) / 200.0), 6) AS quality
+          FROM s)
+    SELECT doc_id, lang, quality,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality), 6)
+             AS q_pct,
+           CASE WHEN PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality)
+                     >= 0.3 THEN 1 ELSE 0 END AS keep
+    FROM q
+    """,
+    doc="per-language quality CALIBRATION: percent-rank each doc's quality "
+    "score within its language and keep the top 70%% per language — "
+    "absolute heuristic scores are not comparable across languages "
+    "(stopword lists, script lengths), so real curation thresholds rank "
+    "WITHIN language; this face is that normalization. Rank runs on the "
+    "6-dp-ROUNDED score (ties rank identically on both engines; "
+    "percent_rank is tie-stable by definition). One per-lang sort "
+    "shuffle; at 100 TB a dominant language's partition is the skew "
+    "concern — swap the window for per-lang percentile_approx "
+    "thresholds joined back (the winsorize_by_group shape) at the cost "
+    "of approximate cut points",
+)
+def text_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", "lang", F.round(tx.quality_score("text"), 6).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy("quality")
+    pr = F.percent_rank().over(w)
+    return q.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.round(pr, 6).alias("q_pct"),
+        (pr >= 0.3).cast("int").alias("keep"),
+    )

@@ -85,6 +85,9 @@ HEADLINE = [
     # other layout faces) and MV merge maintenance
     "layout_zorder_cluster",
     "agg_incremental_merge",
+    # added round 5f: asymmetric containment dedup + per-lang calibration
+    "dedup_ngram_containment",
+    "text_quality_percentile_by_lang",
 ]
 
 

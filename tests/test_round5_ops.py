@@ -154,3 +154,43 @@ def test_bigram_logprob_common_beats_rare_and_short_docs_null(spark):
         assert abs(out[d]["perplexity"] - expect) < 1e-9
     # identical docs score identically
     assert out[0]["avg_logprob"] == out[8]["avg_logprob"]
+
+
+# --- n-gram containment ------------------------------------------------------
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from aidc_2018_timeseries_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    # directional: doc 1 contained in doc 2, never the reverse
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in cont] == [(1, 2, 1.0)]
+    # symmetric Jaccard at the same class of threshold sees nothing
+    assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8).count() == 0
+
+
+def test_containment_max_df_drops_boilerplate_only_overlap(spark):
+    from aidc_2018_timeseries_spark.operators.dedup import ngram_containment_pairs
+
+    # 8 docs share ONLY a boilerplate header; doc 9 truly contains doc 8's
+    # body. With max_df=2 the header shingles (df=8) stop generating
+    # candidates, but the true containment pair (rare shingles) survives.
+    header = "standard site header navigation bar"
+    body = "unique article body sentence number"
+    rows = [(i, f"{header} filler{i} pad{i} tail{i}") for i in range(8)]
+    rows += [(8, body), (9, body + " plus extra trailing context words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_containment_pairs(
+        df, "doc_id", "text", threshold=0.9, max_df=2
+    ).collect()
+    assert (8, 9) in {(r["id_a"], r["id_b"]) for r in capped}
+    assert all(r["id_a"] in (8, 9) for r in capped)
