@@ -687,3 +687,48 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
         status.alias("status"),
     )
+
+
+from aidc_2018_timeseries_spark.functions.hashing import hash64_seeded_sql
+
+_HDOC_TEMP = hash64_seeded_sql("CAST(doc_id AS VARCHAR)", "mix:temp")
+
+
+@register(
+    "sample_temperature_mixture",
+    f"""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT SUM(n) AS tot FROM c),
+    w AS (SELECT source, ROUND(POWER(tot * 1.0 / n, 0.5), 6) AS w6
+          FROM c CROSS JOIN t),
+    d AS (SELECT doc_id, documents.source,
+                 CAST(FLOOR(w6) AS BIGINT)
+                 + CASE WHEN {_HDOC_TEMP} % 1000000 <
+                        CAST(ROUND((w6 - FLOOR(w6)) * 1000000) AS BIGINT)
+                   THEN 1 ELSE 0 END AS n
+          FROM documents JOIN w USING (source))
+    SELECT doc_id, source, CAST(copy_idx AS BIGINT) AS copy_idx
+    FROM (SELECT doc_id, source, unnest(generate_series(1, n)) AS copy_idx
+          FROM d WHERE n >= 1)
+    """,
+    doc="TEMPERATURE-derived domain mixture (alpha = 0.5): per-source "
+    "epochs = (corpus/n_source)^(1-alpha), the Gopher/LLaMA mixing rule "
+    "that upweights scarce sources toward (but not to) uniformity — "
+    "computed FROM the corpus's own source counts, where "
+    "sample_mixture_upweight takes hand-set weights. Weights quantize to "
+    "millionths and apply via the same hash-Bernoulli explode (map-side, "
+    "no shuffle, no RNG); the count collect is one bounded "
+    "rows-per-source scalar fetch, same class as the IVF centroid build. "
+    "The oracle recomputes the weights relationally and must reproduce "
+    "every copy exactly",
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.split import upweight_mixture
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").count().collect()
+    tot = sum(r["count"] for r in counts)
+    weights = {
+        r["source"]: round((tot / r["count"]) ** 0.5, 6) for r in counts
+    }
+    return upweight_mixture(d, "doc_id", "source", weights, seed="temp")

@@ -88,6 +88,7 @@ HEADLINE = [
     # added round 5f: asymmetric containment dedup + per-lang calibration
     "dedup_ngram_containment",
     "text_quality_percentile_by_lang",
+    "sample_temperature_mixture",
 ]
 
 

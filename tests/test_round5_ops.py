@@ -194,3 +194,30 @@ def test_containment_max_df_drops_boilerplate_only_overlap(spark):
     ).collect()
     assert (8, 9) in {(r["id_a"], r["id_b"]) for r in capped}
     assert all(r["id_a"] in (8, 9) for r in capped)
+
+
+# --- temperature mixture -----------------------------------------------------
+
+
+def test_temperature_mixture_upweights_scarce_sources(spark):
+    from aidc_2018_timeseries_spark.operators.split import upweight_mixture
+
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    counts = {r["source"]: r["count"] for r in df.groupBy("source").count().collect()}
+    tot = sum(counts.values())
+    weights = {s: round((tot / n) ** 0.5, 6) for s, n in counts.items()}
+    out = upweight_mixture(df, "doc_id", "source", weights, seed="temp")
+    per_doc = out.groupBy("doc_id", "source").count().collect()
+    import math
+
+    for r in per_doc:  # every doc lands on floor(w) or ceil(w) copies
+        w = weights[r["source"]]
+        assert r["count"] in (math.floor(w), math.ceil(w))
+    by_src = {s: [] for s in counts}
+    for r in per_doc:
+        by_src[r["source"]].append(r["count"])
+    mean_small = sum(by_src["small"]) / len(by_src["small"])
+    mean_big = sum(by_src["big"]) / len(by_src["big"])
+    # alpha=0.5: scarce source ~sqrt(10)x epochs, dominant ~1.05x
+    assert mean_small > 2.5 and mean_big < 1.5
