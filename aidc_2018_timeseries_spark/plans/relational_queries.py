@@ -1921,3 +1921,77 @@ def graph_pagerank_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     return pagerank(sym, iters=5, damping=0.85)
+
+
+@register(
+    "graph_triangles_copurchase",
+    """
+    WITH pp AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM pp e1
+      JOIN pp e2 ON e2.pa = e1.pb
+      JOIN pp e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+    pernode AS (
+      SELECT node, COUNT(*) AS n_triangles
+      FROM (SELECT a AS node FROM tri UNION ALL
+            SELECT b FROM tri UNION ALL
+            SELECT c FROM tri)
+      GROUP BY node)
+    SELECT node AS part, n_triangles FROM pernode
+    ORDER BY n_triangles DESC, part LIMIT 20
+    """,
+    doc="triangle counting over the co-purchase graph: parts are linked "
+    "when they appear in the same order (market-basket projection — "
+    "bounded per order, never a hot-key cross product), triangles are "
+    "triads of mutually co-purchased parts, output = top-20 parts by "
+    "triangle participation (the triadic-closure signal behind "
+    "'frequently bought together' and community seeds). The triangle "
+    "join is the compact-forward a<b<c enumeration: each triangle "
+    "counted once, two equi-joins over the ordered edge relation — the "
+    "canonical multi-way self-join workload. Per-node counts then "
+    "TakeOrderedAndProject; (count desc, part) tie order keeps the "
+    "cut deterministic",
+)
+def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pp = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = pp.alias("e1"), pp.alias("e2"), pp.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c"),
+        )
+    )
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        pernode.select(F.col("node").alias("part"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "part")
+        .limit(20)
+    )

@@ -89,6 +89,9 @@ HEADLINE = [
     "dedup_ngram_containment",
     "text_quality_percentile_by_lang",
     "sample_temperature_mixture",
+    # added round 5g: the multi-way self-join workload (co-purchase
+    # triangles) — the second-heaviest face by design, 49M-row wedge join
+    "graph_triangles_copurchase",
 ]
 
 
