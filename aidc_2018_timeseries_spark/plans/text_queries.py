@@ -949,3 +949,63 @@ def text_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(pr, 6).alias("q_pct"),
         (pr >= 0.3).cast("int").alias("keep"),
     )
+
+
+@register(
+    "llm_export_shards",
+    f"""
+    WITH t AS (SELECT source, doc_id, text,
+                      CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+    p AS (SELECT source, doc_id, n_tokens,
+                 CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+                 AS BIGINT) AS pack_id
+          FROM t),
+    packs AS (SELECT source, pack_id, COUNT(*) AS n_docs,
+                     SUM(n_tokens) AS n_tokens
+              FROM p GROUP BY source, pack_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_packs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM packs GROUP BY source
+    """,
+    doc="training-shard EXPORT, the pipeline's last mile: the packed "
+    "~256-token sequences are written as parquet shards with "
+    "maxRecordsPerFile=16 (bounded shard size — what a data loader "
+    "wants: many same-sized files, not one giant or a million tiny), "
+    "range-partitioned + sorted on (source, pack_id) so each shard "
+    "holds contiguous packs of one domain, then READ BACK and "
+    "re-aggregated per source. The oracle aggregates the pack relation "
+    "directly: matching hashes prove the export+reload is lossless "
+    "end-to-end. Shard-size bounds are pinned in "
+    "tests/test_round5_ops.py",
+)
+def llm_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    p = tx.greedy_pack(d, "source", "doc_id", "text", 256, extra_cols=("text",))
+    ordered = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+    packs = p.groupBy("source", "pack_id").agg(
+        F.array_join(F.transform(ordered, lambda s: s["text"]), " <eos> ").alias(
+            "packed_text"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    path = tempfile.mkdtemp(prefix="aidc_shards_")
+    (
+        packs.repartitionByRange(8, "source", "pack_id")
+        .sortWithinPartitions("source", "pack_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 16)
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )

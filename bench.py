@@ -92,6 +92,7 @@ HEADLINE = [
     # added round 5g: the multi-way self-join workload (co-purchase
     # triangles) — the second-heaviest face by design, 49M-row wedge join
     "graph_triangles_copurchase",
+    "llm_export_shards",
 ]
 
 

@@ -221,3 +221,37 @@ def test_temperature_mixture_upweights_scarce_sources(spark):
     mean_big = sum(by_src["big"]) / len(by_src["big"])
     # alpha=0.5: scarce source ~sqrt(10)x epochs, dominant ~1.05x
     assert mean_small > 2.5 and mean_big < 1.5
+
+
+# --- shard export ------------------------------------------------------------
+
+
+def test_export_shards_bounds_and_losslessness(spark, sf_dir):
+    import glob
+    import tempfile
+
+    from aidc_2018_timeseries_spark.operators.text import greedy_pack
+    from aidc_2018_timeseries_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    p = greedy_pack(d, "source", "doc_id", "text", 256, extra_cols=("text",))
+    packs = p.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    n_packs = packs.count()
+    path = tempfile.mkdtemp(prefix="aidc_shards_test_")
+    (
+        packs.repartitionByRange(4, "source", "pack_id")
+        .sortWithinPartitions("source", "pack_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 16)
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == n_packs  # lossless reload
+    per_file = (
+        back.withColumn("f", F.input_file_name()).groupBy("f").count().collect()
+    )
+    assert all(r["count"] <= 16 for r in per_file)  # maxRecordsPerFile held
+    assert len(per_file) >= -(-n_packs // 16)  # enough shards for the packs
+    assert len(glob.glob(f"{path}/*.parquet")) == len(per_file)
