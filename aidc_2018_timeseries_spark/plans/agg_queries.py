@@ -433,3 +433,53 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.select("event_type", "user_mod", "n_events", "sum_value")
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH e AS (SELECT user_id,
+                      epoch_us(ts) // 604800000000 AS wk FROM events),
+    f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, wk FROM e),
+    r AS (SELECT f.cohort_wk, a.wk - f.cohort_wk AS week_offset,
+                 CAST(COUNT(*) AS BIGINT) AS n_active
+          FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+    cs AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size
+           FROM f GROUP BY cohort_wk)
+    SELECT r.cohort_wk, r.week_offset, r.n_active, cs.cohort_size,
+           ROUND(CAST(r.n_active AS DOUBLE) / cs.cohort_size, 6) AS retention
+    FROM r JOIN cs USING (cohort_wk)
+    """,
+    doc="cohort retention matrix — the canonical growth-analytics rollup: "
+    "users are cohorted by their FIRST active week, and each (cohort, "
+    "week-offset) cell counts how many of them were active that many "
+    "weeks later, as a fraction of cohort size. Week indexing runs in "
+    "the cross-engine-safe microsecond domain (ts div 1000, integer "
+    "div). Three aggregation shuffles, all user- or cohort-keyed: "
+    "first-week per user, distinct (user, week) activity, then the "
+    "matrix roll-up; the cohort-size relation is weeks-bound and "
+    "broadcast back. At 100 TB the first-activity relation is exactly "
+    "the kind of standing MV agg_incremental_merge maintains",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("(ts div 1000) div 604800000000").alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = ev.distinct()
+    r = (
+        active.join(first, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    cs = first.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return r.join(F.broadcast(cs), "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )

@@ -93,6 +93,7 @@ HEADLINE = [
     # triangles) — the second-heaviest face by design, 49M-row wedge join
     "graph_triangles_copurchase",
     "llm_export_shards",
+    "events_cohort_retention",
 ]
 
 
