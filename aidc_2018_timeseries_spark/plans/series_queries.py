@@ -901,3 +901,89 @@ def events_winsorize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir).select("event_id", "event_type", "value")
     return normalize.mad_outliers_by_group(e, "event_type", "value", k=3.0)
+
+
+@register(
+    "events_cusum_alarms",
+    """
+    WITH m AS (SELECT event_type,
+                      ROUND(quantile_cont(value, 0.5), 6) AS med,
+                      ROUND(quantile_cont(value, 0.75), 6)
+                        - ROUND(quantile_cont(value, 0.25), 6) AS iqr
+               FROM events GROUP BY event_type),
+    y AS (SELECT e.event_id, e.event_type, epoch_us(e.ts) AS us,
+                 CAST(ROUND((e.value - m.med - m.iqr) * 1000000) AS BIGINT)
+                   AS y_int
+          FROM events e JOIN m USING (event_type)),
+    c AS (SELECT event_id, event_type, us,
+                 SUM(y_int) OVER (PARTITION BY event_type
+                                  ORDER BY us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum
+          FROM y),
+    c2 AS (SELECT event_id, event_type, cum,
+                  MIN(cum) OVER (PARTITION BY event_type
+                                 ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS minpref
+           FROM c),
+    s AS (SELECT event_id, event_type,
+                 cum - LEAST(CAST(0 AS BIGINT), minpref) AS s_int
+          FROM c2)
+    SELECT event_id, event_type,
+           ROUND(s_int / 1000000.0, 6) AS cusum,
+           CASE WHEN s_int > 50000000 THEN 1 ELSE 0 END AS is_alarm
+    FROM s
+    """,
+    doc="CUSUM change-point alarms per event-type stream, shuffle-exact: "
+    "the textbook recursion S_t = max(0, S_{t-1} + (x_t - target - "
+    "slack)) is not a SQL window — but it EQUALS C_t - min(0, "
+    "min-prefix(C)) over the drift prefix sums C, which is two stacked "
+    "windows on the same (type, time) partition: one sort, no "
+    "iteration, no UDF. Drift is quantized to integer micro-units "
+    "first, so the cumulative sums are EXACT integers on both engines "
+    "(a double cumsum would differ in ulps wherever an engine uses "
+    "segment-tree window aggregation). Target = per-type median, slack "
+    "= IQR, alarm at S > 50 value-units; the bounds relation is "
+    "one-row-per-group, broadcast back — same shape as the MAD fence",
+)
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select("event_id", "event_type", "ts", "value")
+    m = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med"),
+        (
+            F.round(F.percentile("value", F.lit(0.75)), 6)
+            - F.round(F.percentile("value", F.lit(0.25)), 6)
+        ).alias("iqr"),
+    )
+    y = e.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("us"),
+        F.round((F.col("value") - F.col("med") - F.col("iqr")) * 1_000_000, 0)
+        .cast("long")
+        .alias("y_int"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("y_int").over(w)
+    # minpref rides the SAME (us, event_id) order as cum, so Catalyst
+    # satisfies both windows with ONE sort of the type partition.
+    c = y.withColumn("cum", cum).withColumn(
+        "minpref",
+        F.min(cum).over(
+            Window.partitionBy("event_type")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    s_int = F.col("cum") - F.least(F.lit(0).cast("long"), F.col("minpref"))
+    return c.select(
+        "event_id",
+        "event_type",
+        F.round(s_int / 1_000_000.0, 6).alias("cusum"),
+        (s_int > 50_000_000).cast("int").alias("is_alarm"),
+    )

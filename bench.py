@@ -94,6 +94,7 @@ HEADLINE = [
     "graph_triangles_copurchase",
     "llm_export_shards",
     "events_cohort_retention",
+    "events_cusum_alarms",
 ]
 
 

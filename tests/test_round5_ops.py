@@ -255,3 +255,40 @@ def test_export_shards_bounds_and_losslessness(spark, sf_dir):
     assert all(r["count"] <= 16 for r in per_file)  # maxRecordsPerFile held
     assert len(per_file) >= -(-n_packs // 16)  # enough shards for the packs
     assert len(glob.glob(f"{path}/*.parquet")) == len(per_file)
+
+
+# --- CUSUM change-point ------------------------------------------------------
+
+
+def test_cusum_prefix_trick_equals_reference_recursion(spark):
+    # the S_t = C_t - min(0, minprefix(C)) reformulation must equal the
+    # textbook recursion S_t = max(0, S_{t-1} + y_t) exactly.
+    import random
+
+    rng = random.Random(11)
+    ys = [rng.randint(-5, 4) for _ in range(200)] + [3] * 30  # drift at the end
+    rows = [(i, "g", ys[i]) for i in range(len(ys))]
+    df = spark.createDataFrame(rows, "i long, g string, y_int long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("g")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("y_int").over(w)
+    out = (
+        df.withColumn("cum", cum)
+        .withColumn("minpref", F.min(cum).over(w))
+        .withColumn(
+            "s", F.col("cum") - F.least(F.lit(0).cast("long"), F.col("minpref"))
+        )
+        .orderBy("i")
+        .collect()
+    )
+    s_ref, expect = 0, []
+    for y in ys:
+        s_ref = max(0, s_ref + y)
+        expect.append(s_ref)
+    assert [r["s"] for r in out] == expect
+    assert expect[-1] > 0 and max(r["s"] for r in out[: len(ys) - 30]) < expect[-1]
