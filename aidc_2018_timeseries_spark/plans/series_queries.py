@@ -987,3 +987,97 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s_int / 1_000_000.0, 6).alias("cusum"),
         (s_int > 50_000_000).cast("int").alias("is_alarm"),
     )
+
+
+@register(
+    "series_seasonal_decompose",
+    """
+    WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                      CAST(ROUND(SUM(CAST(ROUND(value * 1000000)
+                                          AS BIGINT)) * 1.0 / COUNT(*))
+                           AS BIGINT) AS v_int
+               FROM events GROUP BY 1, 2),
+    t AS (SELECT *,
+                 SUM(v_int) OVER w AS tnum,
+                 COUNT(*) OVER w AS tcnt
+          FROM b WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                              ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    s AS (SELECT event_type, hr, hr % 24 AS slot, v_int,
+                 CAST(ROUND(tnum * 1.0 / tcnt) AS BIGINT) AS trend_int
+          FROM t),
+    se AS (SELECT event_type, slot,
+                  CAST(ROUND(SUM(v_int - trend_int) * 1.0 / COUNT(*))
+                       AS BIGINT) AS seas_int
+           FROM s GROUP BY 1, 2)
+    SELECT s.event_type, s.hr,
+           ROUND(s.v_int / 1000000.0, 6) AS value_avg,
+           ROUND(s.trend_int / 1000000.0, 6) AS trend,
+           ROUND(se.seas_int / 1000000.0, 6) AS seasonal,
+           ROUND((s.v_int - s.trend_int - se.seas_int) / 1000000.0, 6)
+             AS residual
+    FROM s JOIN se USING (event_type, slot)
+    """,
+    doc="classical seasonal decomposition (decompose-by-moving-average, "
+    "the pre-STL textbook method): hourly bucket means per event type, "
+    "trend = centered 25-point moving average, seasonal = mean "
+    "detrended value per hour-of-day slot, residual = the rest — the "
+    "monitoring/forecasting preprocessing step that separates 'what "
+    "always happens at 3am' from real drift (residuals are what CUSUM/"
+    "MAD should watch). One bucket-agg shuffle, one per-type window "
+    "sort, one 24-row-per-type slot relation broadcast back; every "
+    "stage rounds at 6 dp before reuse so the decomposition is "
+    "cross-engine exact",
+)
+def series_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Every mean is computed as an INTEGER micro-unit ratio (exact bigint
+    # sums, one deterministic double division, rounded to the nearest
+    # micro-unit): a double AVG differs between engines in ulps wherever
+    # window/group accumulation order differs (segment tree vs
+    # sequential), and a first cut of this face failed the exact gate on
+    # exactly that — the trend column flipped its 6th decimal.
+    e = _events(spark, sf_dir)
+    b = (
+        e.select(
+            "event_type",
+            F.expr("(ts div 1000) div 3600000000").alias("hr"),
+            F.round(F.col("value") * 1_000_000, 0).cast("long").alias("u"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.round(F.sum("u") * 1.0 / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("v_int")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-12, 12)
+    t = b.withColumn("tnum", F.sum("v_int").over(w)).withColumn(
+        "tcnt", F.count(F.lit(1)).over(w)
+    )
+    s = t.select(
+        "event_type",
+        "hr",
+        (F.col("hr") % 24).alias("slot"),
+        "v_int",
+        F.round(F.col("tnum") * 1.0 / F.col("tcnt"), 0)
+        .cast("long")
+        .alias("trend_int"),
+    )
+    se = s.groupBy("event_type", "slot").agg(
+        F.round(
+            F.sum(F.col("v_int") - F.col("trend_int")) * 1.0 / F.count(F.lit(1)), 0
+        )
+        .cast("long")
+        .alias("seas_int")
+    )
+    j = s.join(F.broadcast(se), ["event_type", "slot"])
+    return j.select(
+        "event_type",
+        "hr",
+        F.round(F.col("v_int") / 1_000_000.0, 6).alias("value_avg"),
+        F.round(F.col("trend_int") / 1_000_000.0, 6).alias("trend"),
+        F.round(F.col("seas_int") / 1_000_000.0, 6).alias("seasonal"),
+        F.round(
+            (F.col("v_int") - F.col("trend_int") - F.col("seas_int")) / 1_000_000.0,
+            6,
+        ).alias("residual"),
+    )

@@ -95,6 +95,7 @@ HEADLINE = [
     "llm_export_shards",
     "events_cohort_retention",
     "events_cusum_alarms",
+    "series_seasonal_decompose",
 ]
 
 

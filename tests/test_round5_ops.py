@@ -292,3 +292,21 @@ def test_cusum_prefix_trick_equals_reference_recursion(spark):
         expect.append(s_ref)
     assert [r["s"] for r in out] == expect
     assert expect[-1] > 0 and max(r["s"] for r in out[: len(ys) - 30]) < expect[-1]
+
+
+# --- seasonal decomposition --------------------------------------------------
+
+
+def test_seasonal_decompose_identity_and_slot_constancy(spark, sf_dir):
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+
+    load_all()
+    out = CATALOG["series_seasonal_decompose"].spark_fn(spark, sf_dir).collect()
+    assert out
+    for r in out:  # additive identity holds to the micro-unit grain
+        assert abs(r["value_avg"] - (r["trend"] + r["seasonal"] + r["residual"])) < 2e-6
+    by_slot = {}
+    for r in out:  # one seasonal value per (type, hour-of-day)
+        key = (r["event_type"], r["hr"] % 24)
+        by_slot.setdefault(key, set()).add(r["seasonal"])
+    assert all(len(v) == 1 for v in by_slot.values())
