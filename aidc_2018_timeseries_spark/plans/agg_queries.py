@@ -483,3 +483,52 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH o AS (SELECT user_id, event_type,
+                      LEAD(event_type) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS next_type
+               FROM events),
+    c AS (SELECT event_type AS from_type, next_type AS to_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / tot.t, 6) AS p
+    FROM c JOIN tot USING (from_type)
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current type), estimated from "
+    "consecutive pairs in each user's time-ordered stream — the "
+    "behavioral model under next-action prediction, anomaly scoring "
+    "(improbable transitions), and funnel diagnostics. One per-user "
+    "window shuffle for the LEAD, then the transition relation is "
+    "event-type-squared-bound (25 rows here) — constant-size at any "
+    "corpus scale, like the LM count relations",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    o = e.withColumn("next_type", F.lead("event_type").over(w))
+    c = (
+        o.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return c.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
+    )

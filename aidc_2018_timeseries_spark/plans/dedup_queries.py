@@ -710,3 +710,48 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_containment_pairs(
         d, "doc_id", "text", shingle_n=_SHINGLE_N, threshold=0.9
     )
+
+
+@register(
+    "dedup_linkage_clusters",
+    f"""
+    WITH RECURSIVE
+    t0 AS (SELECT doc_id, lang, {_TOKS_DD} AS toks FROM documents),
+    k AS (SELECT doc_id, lang,
+                 array_to_string(toks[1:4], ' ') AS title,
+                 toks[1] AS tok1,
+                 CAST(FLOOR(length(array_to_string(toks[1:4], ' ')) / 4)
+                      AS BIGINT) AS lbucket
+          FROM t0),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM k a JOIN k b
+            ON a.lang = b.lang AND a.tok1 = b.tok1
+           AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id
+          WHERE levenshtein(a.title, b.title) <= 3),
+    edges AS (SELECT id_a AS u, id_b AS v FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)
+    SELECT node AS doc_id, MIN(root) AS entity_id FROM reach GROUP BY node
+    """,
+    doc="entity-resolution END TO END: blocked title-edit-distance pairs "
+    "(dedup_blocked_edit_distance) fed through connected components — "
+    "every doc labeled with its entity cluster's canonical (minimum) id, "
+    "typo variants collapsing transitively (A~B, B~C => one entity even "
+    "when A-C exceeds the distance bound). The record-linkage twin of "
+    "dedup_clusters_cc (whose pairs come from MinHash); oracle = "
+    "recursive-CTE transitive closure over the identical pair relation",
+)
+def dedup_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.blocked_edit_distance_pairs(
+        d, "doc_id", "text", block_cols=["lang"], prefix_tokens=4, max_dist=3
+    ).select("id_a", "id_b")
+    nodes = d.select("doc_id")
+    return connected_components(
+        nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("entity_id"))

@@ -96,6 +96,8 @@ HEADLINE = [
     "events_cohort_retention",
     "events_cusum_alarms",
     "series_seasonal_decompose",
+    "dedup_linkage_clusters",
+    "events_transition_matrix",
 ]
 
 
