@@ -110,9 +110,17 @@ def char_ngrams_of_tokens(tokens: Column, n: int) -> Column:
     """Word n-gram shingles: join each n consecutive tokens with a space.
 
     ``transform(sequence(1, size-n+1), i -> concat_ws(' ', slice(toks, i, n)))``
-    — empty when the document has fewer than n tokens.
+    — empty when the document has fewer than n tokens. The short-doc case
+    needs an explicit guard, not ``greatest(..., 0)``: Spark's
+    ``sequence(1, 0)`` generates a DESCENDING [1, 0] (it never returns
+    empty), and the 0 index then throws INVALID_PARAMETER in ANSI
+    ``slice`` — found by the randomized losslessness property test on a
+    corpus with 2-token docs (tests/test_dedup_properties.py); the
+    driver testdata never exercises docs shorter than n.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(tokens) >= n, F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
 
 
