@@ -474,7 +474,10 @@ def blocked_edit_distance_pairs(
         F.col(id_col),
         *[F.col(c) for c in (block_cols or [])],
         title.alias("title"),
-        F.element_at(toks, 1).alias("_tok1"),
+        # try_element_at: a token-less doc has no leading token to block
+        # on — it gets a NULL key and simply never pairs (plain element_at
+        # throws INVALID_ARRAY_INDEX under ANSI; edge-corpus battery)
+        F.try_element_at(toks, F.lit(1)).alias("_tok1"),
         F.floor(F.length(title) / 4).alias("_lbucket"),
     )
     block_key = [*(block_cols or []), "_tok1", "_lbucket"]

@@ -43,15 +43,20 @@ def token_count(text: Column | str) -> Column:
 
 
 def type_token_ratio(text: Column | str) -> Column:
-    """Distinct tokens / total tokens — a classic repetition-quality signal."""
+    """Distinct tokens / total tokens — a classic repetition-quality signal.
+    NULL for token-less docs (ANSI division would throw; the edge-corpus
+    battery pins the guard)."""
     toks = tokenize(text)
-    return F.size(F.array_distinct(toks)) / F.size(toks)
+    n = F.size(toks)
+    return F.when(n > 0, F.size(F.array_distinct(toks)) / n)
 
 
 def mean_token_length(text: Column | str) -> Column:
+    """NULL for token-less docs (ANSI division guard)."""
     toks = tokenize(text)
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return total.cast("double") / F.size(toks)
+    n = F.size(toks)
+    return F.when(n > 0, total.cast("double") / n)
 
 
 def quality_score(text: Column | str, stopwords: list[str] | None = None) -> Column:
@@ -70,7 +75,10 @@ def quality_score(text: Column | str, stopwords: list[str] | None = None) -> Col
     stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))  # ~20% stopwords → full marks
     ttr = F.size(F.array_distinct(toks)).cast("double") / n
     len_score = F.least(n, F.lit(200.0)) / 200.0
-    return 0.4 * stop_score + 0.3 * ttr + 0.3 * len_score
+    score = 0.4 * stop_score + 0.3 * ttr + 0.3 * len_score
+    # empty/whitespace docs: no content = zero quality (ANSI division on
+    # n = 0 would throw; found by the edge-corpus battery)
+    return F.when(n > 0, score).otherwise(F.lit(0.0))
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:

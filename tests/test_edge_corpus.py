@@ -1,0 +1,88 @@
+"""Pathological-corpus battery: every text/dedup operator entry point must
+survive empty strings, whitespace-only docs, single tokens, unicode, and
+very long documents WITHOUT throwing (ANSI mode turns silent index/overflow
+sloppiness into runtime errors — the sub-n-token shingle crash fixed in
+operators/text.char_ngrams_of_tokens was exactly this class). Outputs are
+sanity-checked, not golden-checked; oracle parity lives elsewhere.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.operators import dedup as dd
+from aidc_2018_timeseries_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def edge_docs(spark):
+    rows = [
+        (0, "", "en", "src0"),
+        (1, "   ", "en", "src0"),
+        (2, "one", "en", "src1"),
+        (3, "two tokens", "en", "src1"),
+        (4, "exactly three tokens", "en", "src2"),
+        (5, "ünïcödé tökens 日本語 текст emoji", "de", "src2"),
+        (6, " ".join(f"tok{i % 7}" for i in range(500)), "en", "src3"),
+        (7, "repeated repeated repeated repeated repeated", "en", "src3"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_token_and_quality_ops_survive(edge_docs):
+    out = edge_docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n"),
+        tx.quality_score("text").alias("q"),
+        tx.lang_id("text").alias("lang_pred"),
+        tx.doc_fingerprint("text").alias("fp"),
+        tx.subword_count("text").alias("sw"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n"] == 0 and by_id[1]["n"] == 0
+    assert by_id[6]["n"] == 500
+
+
+def test_shingle_family_survives_short_docs(edge_docs):
+    # every doc shorter than the shingle width must yield an EMPTY set,
+    # not an ANSI slice error (regression: char_ngrams_of_tokens)
+    out = edge_docs.select(
+        "doc_id", F.size(tx.shingle_hashes("text", n=3)).alias("n_sh")
+    ).collect()
+    by_id = {r["doc_id"]: r["n_sh"] for r in out}
+    assert by_id[0] == 0 and by_id[1] == 0 and by_id[2] == 0 and by_id[3] == 0
+    assert by_id[4] == 1 and by_id[6] > 0
+
+
+def test_dedup_operators_survive(edge_docs):
+    assert dd.exact_duplicates(edge_docs, "doc_id", "text").count() == 8
+    dd.minhash_candidate_pairs(edge_docs, "doc_id", "text").count()
+    dd.ngram_jaccard_pairs(edge_docs, "doc_id", "text").count()
+    dd.ngram_containment_pairs(edge_docs, "doc_id", "text").count()
+    dd.simhash_buckets(edge_docs, "doc_id", "text").count()
+    pairs = dd.blocked_edit_distance_pairs(
+        edge_docs, "doc_id", "text", block_cols=["lang"]
+    )
+    pairs.count()  # empty/whitespace docs must not produce a null-key blowup
+
+
+def test_chunk_pack_fim_survive(edge_docs):
+    edge_docs.select(tx.chunk_tokens("text", 4, 2).alias("c")).count()
+    tx.greedy_pack(edge_docs, "source", "doc_id", "text", 16).count()
+    edge_docs.select(tx.fim_transform("text", "doc_id").alias("f")).count()
+    tx.length_bucket_batches(edge_docs, "doc_id", "text", batch_size=4).count()
+    edge_docs.select(tx.remove_stopwords("text").alias("s")).count()
+    edge_docs.select(tx.redact_pii(F.col("text")).alias("r")).count()
+
+
+def test_lm_ops_survive(edge_docs):
+    tx.bigram_lm_topk(edge_docs, "text").count()
+    out = tx.bigram_logprob_score(edge_docs, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 8  # every doc present, even empty ones
+    assert by_id[0]["n_bigrams"] == 0 and by_id[0]["avg_logprob"] is None
+    tx.heavy_hitters_mg(edge_docs, "text", k=5).count()
+    tx.tfidf_top_terms(edge_docs, "doc_id", "text", k=2).count()
+    tx.boilerplate_fraction(edge_docs, "doc_id", "text").count()
