@@ -31,4 +31,11 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL when either vector has zero norm — cosine is undefined there,
+    and the unguarded division throws DIVIDE_BY_ZERO under ANSI mode the
+    moment a corpus contains an all-zero embedding (a real occurrence:
+    padding rows, failed encoders). NULL never passes a ``sim >= t``
+    filter, so zero vectors simply never match — the behavior every
+    caller wants. Found by the zero-vector edge battery."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)

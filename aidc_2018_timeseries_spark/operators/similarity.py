@@ -42,6 +42,10 @@ def brute_force_topk(
     sim = F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
     scored = joined.select(
         F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("sim")
+    ).filter(
+        # undefined similarities (zero-norm vector on either side → NULL)
+        # must not occupy top-k slots — drop them before ranking
+        F.col("sim").isNotNull()
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

@@ -86,3 +86,32 @@ def test_lm_ops_survive(edge_docs):
     tx.heavy_hitters_mg(edge_docs, "text", k=5).count()
     tx.tfidf_top_terms(edge_docs, "doc_id", "text", k=2).count()
     tx.boilerplate_fraction(edge_docs, "doc_id", "text").count()
+
+
+def test_similarity_ops_survive_zero_vectors(spark):
+    from aidc_2018_timeseries_spark.operators import similarity as sim
+
+    rows = [(0, [0.0] * 8, 0), (1, [1.0] + [0.0] * 7, 1), (2, [0.5] * 8, 2)] + [
+        (i, [float(i + j) for j in range(8)], 0) for i in range(3, 20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    # LSH near-dup with a zero vector present: must not throw; the zero
+    # vector must never appear in any pair (cosine undefined -> NULL)
+    pairs = sim.embedding_lsh_dup_pairs(
+        df, threshold=0.9, n_tables=2, n_bits=3, seed=7, dim=8
+    ).collect()
+    assert all(r["id_a"] != 0 and r["id_b"] != 0 for r in pairs)
+    # brute-force top-k from a renamed query set (the face idiom)
+    from pyspark.sql import functions as F2
+
+    q = df.select(
+        F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("query_vec")
+    ).filter(F2.col("query_id").isin(0, 5))
+    topk = sim.brute_force_topk(df, q, k=3)
+    got = topk.collect()
+    # the zero-vector query has undefined similarity to everything ->
+    # contributes no rows; the real query gets its k
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert 0 not in by_q and len(by_q[5]) == 3
