@@ -1995,3 +1995,65 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "part")
         .limit(20)
     )
+
+
+@register(
+    "events_top_session_paths",
+    """
+    WITH flags AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, event_id, event_type, us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flags),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY us, event_id) AS path
+      FROM sess GROUP BY user_id, session_id),
+    counts AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+               FROM paths GROUP BY path)
+    SELECT path, n_sessions FROM counts
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+    doc="top-10 session PATHS (sequence mining lite): sessionize, fold "
+    "each session's time-ordered event types into a '>'-joined path "
+    "string, count identical paths corpus-wide — the product-analytics "
+    "view behind 'what do users actually do' funnels. Composes the "
+    "sessionize shuffle with a per-session ordered fold (array_sort on "
+    "(us, event_id, type) structs — collect_list alone has NO intra-"
+    "group order guarantee after a shuffle) and a path-keyed count; "
+    "top-10 via TakeOrderedAndProject with (count desc, path) tie order",
+)
+def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.expr("ts div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    flags = ev.withColumn(
+        "new_session",
+        F.when(F.col("us") - F.lag("us").over(w) > gap_us, 1).otherwise(0),
+    )
+    sess = flags.withColumn(
+        "session_id", F.sum("new_session").over(cum).cast("long")
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("us", "event_id", "event_type"))
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["event_type"]), ">"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )

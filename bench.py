@@ -98,6 +98,7 @@ HEADLINE = [
     "series_seasonal_decompose",
     "dedup_linkage_clusters",
     "events_transition_matrix",
+    "events_top_session_paths",
 ]
 
 
