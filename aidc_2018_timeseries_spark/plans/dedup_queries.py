@@ -755,3 +755,73 @@ def dedup_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
     ).select(F.col("node").alias("doc_id"), F.col("label").alias("entity_id"))
+
+
+@register(
+    "dedup_minhash_eval",
+    f"""
+    WITH {_minhash_pair_ctes()},
+    she AS (SELECT doc_id, len(sh30) AS n_sh, unnest(sh30) AS shingle FROM sh),
+    inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.n_sh AS sa, r.n_sh AS sb, COUNT(*) AS nc
+      FROM she l JOIN she r
+        ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY 1, 2, 3, 4),
+    truth AS (SELECT id_a, id_b FROM inter
+              WHERE CAST(nc AS DOUBLE) / (sa + sb - nc) >= 0.8),
+    u AS (SELECT COALESCE(p.id_a, t.id_a) AS id_a,
+                 COALESCE(p.id_b, t.id_b) AS id_b,
+                 (p.id_a IS NOT NULL) AS in_pred,
+                 (t.id_a IS NOT NULL) AS in_truth
+          FROM pairs p FULL OUTER JOIN truth t USING (id_a, id_b))
+    SELECT CAST(SUM(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN in_pred AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN in_truth AND NOT in_pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           ROUND(CAST(SUM(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN in_pred THEN 1 ELSE 0 END), 0), 6) AS precision,
+           ROUND(CAST(SUM(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END), 0), 6) AS recall
+    FROM u
+    """,
+    doc="approximate-vs-exact dedup EVALUATION: MinHash+LSH candidate "
+    "pairs scored against exact 3-gram Jaccard >= 0.8 ground truth — "
+    "tp/fp/fn, precision, recall in one row. This is the quantified "
+    "version of the claim every approximate path makes ('bands catch "
+    "the true pairs'): both relations are deterministic, so even the "
+    "QUALITY of the approximation is hash-checkable cross-engine. At "
+    "100 TB you run exactly this on a sampled stratum to tune "
+    "bands/rows before committing the full corpus to an LSH "
+    "configuration",
+)
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pred = dd.minhash_candidate_pairs(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES,
+        num_bands=_NUM_BANDS, shingle_n=_SHINGLE_N,
+    ).withColumn("in_pred", F.lit(True))
+    truth = (
+        dd.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=_SHINGLE_N, threshold=0.8)
+        .select("id_a", "id_b")
+        .withColumn("in_truth", F.lit(True))
+    )
+    u = pred.join(truth, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce(F.col("in_pred"), F.lit(False)).alias("in_pred"),
+        F.coalesce(F.col("in_truth"), F.lit(False)).alias("in_truth"),
+    )
+    tp = F.sum((F.col("in_pred") & F.col("in_truth")).cast("long"))
+    fp = F.sum((F.col("in_pred") & ~F.col("in_truth")).cast("long"))
+    fn = F.sum((~F.col("in_pred") & F.col("in_truth")).cast("long"))
+    n_pred = F.sum(F.col("in_pred").cast("long"))
+    n_truth = F.sum(F.col("in_truth").cast("long"))
+    return u.groupBy().agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.round(
+            tp.cast("double") / F.nullif(n_pred, F.lit(0)), 6
+        ).alias("precision"),
+        F.round(
+            tp.cast("double") / F.nullif(n_truth, F.lit(0)), 6
+        ).alias("recall"),
+    )

@@ -99,6 +99,7 @@ HEADLINE = [
     "dedup_linkage_clusters",
     "events_transition_matrix",
     "events_top_session_paths",
+    "dedup_minhash_eval",
 ]
 
 
