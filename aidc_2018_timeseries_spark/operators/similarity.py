@@ -70,9 +70,13 @@ def assign_centroids(
     """
     joined = vectors.crossJoin(F.broadcast(centroids))
     sim = F.round(cosine_similarity(F.col(vec_col), F.col(centroid_vec_col)), 6)
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(centroid_id_col))
     return (
         joined.select(F.col(id_col), F.col(vec_col), F.col(centroid_id_col), sim.alias("csim"))
+        # zero-norm vectors have NO nearest centroid (cosine undefined →
+        # NULL); drop them from the index rather than silently assigning
+        # the lowest centroid_id via a NULL-ranked window (zero-vector
+        # edge battery; the Arrow form masks the same rows)
+        .filter(F.col("csim").isNotNull())
         .withColumn("rk", F.row_number().over(Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col(centroid_id_col))))
         .filter(F.col("rk") == 1)
         .select(id_col, vec_col, centroid_id_col)
@@ -124,7 +128,14 @@ def assign_centroids_arrow(
             if pdf.empty:
                 continue
             V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            # zero-norm vectors: no nearest centroid — mask them out, same
+            # semantics as the expression form's NULL-cosine filter
+            keep = norms[:, 0] > 0
+            if not keep.any():
+                continue
+            pdf = pdf[keep].reset_index(drop=True)
+            Vn = V[keep] / norms[keep]
             S = np.round(Vn @ Mn, 6)
             # argmax returns the FIRST max; columns are centroid_id-ascending
             best = ids[np.argmax(S, axis=1)]
@@ -634,7 +645,11 @@ def pq_assign_codes(
                     for j in range(subdim):
                         d = sub[:, j : j + 1] - B[s, :, j]
                         acc += d * d
-                    r6 = np.round(acc, 6)
+                    # floor(x*1e6 + 0.5): decimal HALF_UP for non-negative
+                    # values, matching F.round/DuckDB ROUND on the dyadic
+                    # halfway cases where np.round's half-to-even would pick
+                    # a different code than the expression form
+                    r6 = np.floor(acc * 1e6 + 0.5)
                     best = np.argmin(r6, axis=1)  # first (lowest) code wins ties
                     codes[:, s] = best
                     dists[:, s] = acc[np.arange(n), best]

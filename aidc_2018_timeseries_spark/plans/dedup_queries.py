@@ -184,8 +184,12 @@ def _corpus_pipeline_oracle() -> tuple[str, str]:
                 WHEN s_zh > 0 THEN 'zh'
                 ELSE 'unknown' END"""
     quality = (
+        # empty-doc guard mirrors operators/text.quality_score (0.0 — the
+        # Spark side is ANSI-guarded, and an unguarded oracle would yield
+        # NaN instead and silently break parity on corpora with empty docs)
+        "CASE WHEN n > 0 THEN "
         "ROUND(0.4 * LEAST(n_stop / n * 5.0, 1.0) + 0.3 * (n_distinct / n) "
-        "+ 0.3 * (LEAST(n, 200.0) / 200.0), 6)"
+        "+ 0.3 * (LEAST(n, 200.0) / 200.0), 6) ELSE 0.0 END"
     )
     ctes = f"""
     t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -410,8 +414,12 @@ def _keep_best_oracle() -> str:
 
     stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
     quality = (
+        # empty-doc guard mirrors operators/text.quality_score (0.0 — the
+        # Spark side is ANSI-guarded, and an unguarded oracle would yield
+        # NaN instead and silently break parity on corpora with empty docs)
+        "CASE WHEN n > 0 THEN "
         "ROUND(0.4 * LEAST(n_stop / n * 5.0, 1.0) + 0.3 * (n_distinct / n) "
-        "+ 0.3 * (LEAST(n, 200.0) / 200.0), 6)"
+        "+ 0.3 * (LEAST(n, 200.0) / 200.0), 6) ELSE 0.0 END"
     )
     return f"""
     WITH RECURSIVE {_minhash_pair_ctes()},
@@ -640,21 +648,32 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS_DD = tokenize_sql("text")
 
 
-@register(
-    "dedup_blocked_edit_distance",
-    f"""
-    WITH t AS (SELECT doc_id, lang, {_TOKS_DD} AS toks FROM documents),
+def _edit_block_ctes(t_name: str = "t0") -> str:
+    """Shared blocking-key CTE chain for the edit-distance linkage family
+    (same single-source-of-truth role as _minhash_pair_ctes): title =
+    first 4 tokens, block = (lang, leading token, 4-char length bucket),
+    pairs = same-block id-ordered Levenshtein <= 3. MUST mirror the
+    defaults of operators/dedup.blocked_edit_distance_pairs — change
+    either in one place only."""
+    return f"""{t_name} AS (SELECT doc_id, lang, {_TOKS_DD} AS toks FROM documents),
     k AS (SELECT doc_id, lang,
                  array_to_string(toks[1:4], ' ') AS title,
                  toks[1] AS tok1,
                  CAST(FLOOR(length(array_to_string(toks[1:4], ' ')) / 4)
                       AS BIGINT) AS lbucket
-          FROM t),
+          FROM {t_name}),
     p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang,
                  levenshtein(a.title, b.title) AS title_dist
           FROM k a JOIN k b
             ON a.lang = b.lang AND a.tok1 = b.tok1
-           AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id)
+           AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id)"""
+
+
+
+@register(
+    "dedup_blocked_edit_distance",
+    f"""
+    WITH {_edit_block_ctes()}
     SELECT id_a, id_b, lang, CAST(title_dist AS INT) AS title_dist
     FROM p WHERE title_dist <= 3
     """,
@@ -716,20 +735,10 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_linkage_clusters",
     f"""
     WITH RECURSIVE
-    t0 AS (SELECT doc_id, lang, {_TOKS_DD} AS toks FROM documents),
-    k AS (SELECT doc_id, lang,
-                 array_to_string(toks[1:4], ' ') AS title,
-                 toks[1] AS tok1,
-                 CAST(FLOOR(length(array_to_string(toks[1:4], ' ')) / 4)
-                      AS BIGINT) AS lbucket
-          FROM t0),
-    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM k a JOIN k b
-            ON a.lang = b.lang AND a.tok1 = b.tok1
-           AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id
-          WHERE levenshtein(a.title, b.title) <= 3),
-    edges AS (SELECT id_a AS u, id_b AS v FROM p
-              UNION ALL SELECT id_b, id_a FROM p),
+    {_edit_block_ctes()},
+    pd AS (SELECT id_a, id_b FROM p WHERE title_dist <= 3),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pd
+              UNION ALL SELECT id_b, id_a FROM pd),
     reach(node, root) AS (
       SELECT doc_id, doc_id FROM documents
       UNION

@@ -725,10 +725,17 @@ _HDOC_TEMP = hash64_seeded_sql("CAST(doc_id AS VARCHAR)", "mix:temp")
 def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aidc_2018_timeseries_spark.operators.split import upweight_mixture
 
+    import math
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     counts = d.groupBy("source").count().collect()
     tot = sum(r["count"] for r in counts)
+    # floor(x*1e6 + 0.5): decimal HALF-UP quantization, matching the
+    # oracle's ROUND(POWER(...), 6) (half away from zero == half-up for
+    # positive weights). Python's round() is banker's rounding and would
+    # diverge by one micro-unit exactly at halfway boundaries.
     weights = {
-        r["source"]: round((tot / r["count"]) ** 0.5, 6) for r in counts
+        r["source"]: math.floor((tot / r["count"]) ** 0.5 * 1e6 + 0.5) / 1e6
+        for r in counts
     }
     return upweight_mixture(d, "doc_id", "source", weights, seed="temp")

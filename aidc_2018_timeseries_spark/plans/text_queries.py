@@ -31,9 +31,12 @@ def _in_list(words: list[str]) -> str:
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(n_chars AS BIGINT) AS n_chars,
-           ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-                 / len(toks), 6) AS mean_token_len,
-           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr
+           CASE WHEN len(toks) > 0 THEN
+             ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / len(toks), 6) END AS mean_token_len,
+           CASE WHEN len(toks) > 0 THEN
+             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+           END AS ttr
     FROM t
     """,
     doc="token counting: counts, mean token length, type-token ratio",
@@ -62,9 +65,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct
       FROM t)
     SELECT doc_id,
-           ROUND(0.4 * LEAST(n_stop / n * 5.0, 1.0)
-                 + 0.3 * (n_distinct / n)
-                 + 0.3 * (LEAST(n, 200.0) / 200.0), 6) AS quality
+           CASE WHEN n > 0 THEN
+             ROUND(0.4 * LEAST(n_stop / n * 5.0, 1.0)
+                   + 0.3 * (n_distinct / n)
+                   + 0.3 * (LEAST(n, 200.0) / 200.0), 6)
+           ELSE 0.0 END AS quality
     FROM s
     """,
     doc="heuristic quality score: stopword ratio + TTR + length (Gopher/C4-style)",
@@ -910,9 +915,11 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct
       FROM t),
     q AS (SELECT doc_id, lang,
-                 ROUND(0.4 * LEAST(n_stop / n * 5.0, 1.0)
-                       + 0.3 * (n_distinct / n)
-                       + 0.3 * (LEAST(n, 200.0) / 200.0), 6) AS quality
+                 CASE WHEN n > 0 THEN
+                   ROUND(0.4 * LEAST(n_stop / n * 5.0, 1.0)
+                         + 0.3 * (n_distinct / n)
+                         + 0.3 * (LEAST(n, 200.0) / 200.0), 6)
+                 ELSE 0.0 END AS quality
           FROM s)
     SELECT doc_id, lang, quality,
            ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality), 6)
