@@ -2057,3 +2057,73 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(10)
     )
+
+
+@register(
+    "graph_copurchase_lift",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+    item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+             FROM b GROUP BY l_partkey),
+    pp AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+                  CAST(COUNT(*) AS BIGINT) AS n_pair
+           FROM b x JOIN b y
+             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+           GROUP BY 1, 2)
+    SELECT pa, pb, n_pair,
+           ROUND(CAST(pp.n_pair AS DOUBLE) * n.n_orders
+                 / (ia.n_item * ib.n_item), 6) AS lift
+    FROM pp
+    JOIN item ia ON ia.l_partkey = pp.pa
+    JOIN item ib ON ib.l_partkey = pp.pb
+    CROSS JOIN n
+    WHERE n_pair >= 3
+    ORDER BY ROUND(CAST(pp.n_pair AS DOUBLE) * n.n_orders
+                   / (ia.n_item * ib.n_item), 6) DESC, pa, pb
+    LIMIT 20
+    """,
+    doc="association-rule LIFT over co-purchase pairs: lift(a,b) = "
+    "P(ab)/(P(a)P(b)) over order baskets, min support 3, top-20 by lift "
+    "— the normalized 'frequently bought together' statistic (raw pair "
+    "counts just rank popular items; lift surfaces genuinely dependent "
+    "pairs). Pair generation is bounded per order; item and pair counts "
+    "are catalog-bound relations; the order total enters as one bounded "
+    "count job (the oracle states it as a scalar subquery — Spark "
+    "folds the literal to keep the plan free of nested-loop joins). "
+    "Deterministic (rounded lift desc, pa, pb) cut",
+)
+def graph_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = b.select("l_orderkey").distinct().count()
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    x, y = b.alias("x"), b.alias("y")
+    pp = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("pa"), F.col("y.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("pa"), F.col("n_item").alias("na"))
+    ib = item.select(F.col("l_partkey").alias("pb"), F.col("n_item").alias("nb"))
+    lift = F.round(
+        F.col("n_pair").cast("double") * F.lit(n_orders) / (F.col("na") * F.col("nb")),
+        6,
+    )
+    return (
+        pp.join(ia, "pa")
+        .join(ib, "pb")
+        .select("pa", "pb", "n_pair", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "pa", "pb")
+        .limit(20)
+    )

@@ -100,6 +100,7 @@ HEADLINE = [
     "events_transition_matrix",
     "events_top_session_paths",
     "dedup_minhash_eval",
+    "graph_copurchase_lift",
 ]
 
 
