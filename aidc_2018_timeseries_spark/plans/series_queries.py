@@ -1081,3 +1081,54 @@ def series_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("residual"),
     )
+
+
+@register(
+    "events_ohlc_bars",
+    """
+    WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id, value,
+                      epoch_us(ts) // 3600000000 AS hr FROM events),
+    w AS (SELECT event_type, hr, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, hr
+                                    ORDER BY us, event_id) AS rn_a,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, hr
+                                    ORDER BY us DESC, event_id DESC) AS rn_d
+          FROM e)
+    SELECT event_type, hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+    FROM w GROUP BY event_type, hr
+    """,
+    doc="OHLC bars (open/high/low/close + count per type-hour): the "
+    "financial-candlestick / telemetry-rollup aggregate, built from "
+    "ORDER STATISTICS only (first/last by a total (time, id) order, "
+    "min/max) so every output value is an exact input value — no "
+    "accumulation, no rounding, bit-exact cross-engine by construction. "
+    "One (type, hour) window sort serves both endpoint row_numbers; "
+    "the bar relation is time-range-bound",
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("ts div 1000").alias("us"),
+        "event_id",
+        "value",
+        F.expr("(ts div 1000) div 3600000000").alias("hr"),
+    )
+    wa = Window.partitionBy("event_type", "hr").orderBy("us", "event_id")
+    wd = Window.partitionBy("event_type", "hr").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    w = e.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return w.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+    )

@@ -101,6 +101,7 @@ HEADLINE = [
     "events_top_session_paths",
     "dedup_minhash_eval",
     "graph_copurchase_lift",
+    "events_ohlc_bars",
 ]
 
 
