@@ -126,3 +126,24 @@ def test_unpivot_is_expand_no_shuffle(spark):
     plan = _formatted_plan(CATALOG["unpivot_lineitem_measures"].spark_fn(spark, SF_DIR))
     assert "Expand" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+
+
+def test_column_pruning_reaches_scan_mad(spark):
+    """events_anomaly_mad needs 3 of 6 event columns; props (the widest)
+    and the timestamp must not be read by any of its scans."""
+    plan = _formatted_plan(CATALOG["events_anomaly_mad"].spark_fn(spark, SF_DIR))
+    scan_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schemas
+    assert all("props" not in l and "ts:" not in l for l in scan_schemas)
+
+
+def test_ohlc_windows_share_one_exchange(spark):
+    """The ascending and descending endpoint row_numbers sort twice (one
+    Sort per window direction — unavoidable) but must share ONE hash
+    Exchange on (type, hour): a second shuffle would double the face's
+    network cost."""
+    import re as _re
+
+    plan = _formatted_plan(CATALOG["events_ohlc_bars"].spark_fn(spark, SF_DIR))
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan  # scan->window shuffle + final agg shuffle
