@@ -121,7 +121,19 @@ def assign_centroids_arrow(
         )
     ids = np.array([r[centroid_id_col] for r in rows], dtype=np.int64)
     M = np.array([r[centroid_vec_col] for r in rows], dtype=np.float64)
-    Mn = (M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)).T
+    # zero-norm CENTROIDS are dropped like the expression form drops their
+    # NULL cosines — a 1e-300-normalized zero column would score 0.0 and
+    # beat genuinely negative similarities, silently winning the argmax
+    cnorms = np.linalg.norm(M, axis=1)
+    ckeep = cnorms > 0
+    if not ckeep.any():
+        return (
+            vectors.select(id_col, vec_col)
+            .filter(F.lit(False))
+            .withColumn(centroid_id_col, F.lit(None).cast(cid_t))
+        )
+    ids, M = ids[ckeep], M[ckeep]
+    Mn = (M / cnorms[ckeep][:, None]).T
 
     def gen(batches):
         for pdf in batches:
@@ -197,6 +209,9 @@ def ivf_topk(
     wq = Window.partitionBy(query_id_col).orderBy(F.col("qsim").desc(), F.col("centroid_id"))
     probes = (
         qc.select(F.col(query_id_col), F.col(query_vec_col), F.col("centroid_id"), qsim.alias("qsim"))
+        # zero-norm query/centroid → NULL cosine: drop before ranking so a
+        # degenerate query probes nothing instead of n_probe arbitrary cells
+        .filter(F.col("qsim").isNotNull())
         .withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= n_probe)
         .select(query_id_col, query_vec_col, "centroid_id")
@@ -204,7 +219,9 @@ def ivf_topk(
     # probe join: only vectors in probed cells are scored
     cand = probes.join(inverted, "centroid_id").filter(F.col(id_col) != F.col(query_id_col))
     sim = F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
-    scored = cand.select(F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+    scored = cand.select(
+        F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("sim")
+    ).filter(F.col("sim").isNotNull())  # match brute_force_topk's NULL policy
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -455,6 +472,7 @@ def rp_lsh_topk(
             F.col(id_col).alias("neighbor_id"),
             F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6).alias("sim"),
         )
+        .filter(F.col("sim").isNotNull())  # match brute_force_topk's NULL policy
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -648,8 +666,27 @@ def pq_assign_codes(
                     # floor(x*1e6 + 0.5): decimal HALF_UP for non-negative
                     # values, matching F.round/DuckDB ROUND on the dyadic
                     # halfway cases where np.round's half-to-even would pick
-                    # a different code than the expression form
-                    r6 = np.floor(acc * 1e6 + 0.5)
+                    # a different code than the expression form. F.round
+                    # actually rounds the double's SHORTEST DECIMAL REPR
+                    # (BigDecimal.valueOf), which the scaled floor only
+                    # approximates — so values within an ulp of a halfway
+                    # boundary take a rare exact path through Decimal(repr)
+                    scaled = acc * 1e6
+                    r6 = np.floor(scaled + 0.5)
+                    frac = scaled - np.floor(scaled)
+                    sus = np.abs(frac - 0.5) < 1e-6
+                    if sus.any():
+                        from decimal import ROUND_HALF_UP, Decimal
+
+                        q6 = Decimal("0.000001")
+                        r6[sus] = [
+                            float(
+                                Decimal(repr(float(v)))
+                                .quantize(q6, rounding=ROUND_HALF_UP)
+                                .scaleb(6)
+                            )
+                            for v in acc[sus]
+                        ]
                     best = np.argmin(r6, axis=1)  # first (lowest) code wins ties
                     codes[:, s] = best
                     dists[:, s] = acc[np.arange(n), best]

@@ -309,10 +309,15 @@ def _embedding_lsh_oracle() -> str:
       FROM sig a JOIN sig b
         ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
     scored AS (
+      -- zero-norm guard mirrors the Spark side's NULL cosine: an
+      -- unguarded 0/0 is NaN in DuckDB, and NaN >= threshold is TRUE
+      -- there, which would KEEP a pair Spark drops
       SELECT c.id_a, c.id_b,
-             ROUND(list_dot_product(va.e, vb.e)
-                   / (SQRT(list_dot_product(va.e, va.e))
-                      * SQRT(list_dot_product(vb.e, vb.e))), 6) AS sim
+             CASE WHEN list_dot_product(va.e, va.e) > 0
+                   AND list_dot_product(vb.e, vb.e) > 0 THEN
+               ROUND(list_dot_product(va.e, vb.e)
+                     / (SQRT(list_dot_product(va.e, va.e))
+                        * SQRT(list_dot_product(vb.e, vb.e))), 6) END AS sim
       FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b)
     SELECT id_a, id_b, sim FROM scored WHERE sim >= {_LSH_THRESHOLD}
     """

@@ -357,21 +357,47 @@ def topk_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+#: gap-based sessionization, single source of truth for the 30-min gap and
+#: the (µs, event_id) tie order — shared by events_sessionize and
+#: events_top_session_paths (SQL and Spark sides each defined ONCE here).
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSION_CTES = f"""flags AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, event_id, event_type, us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flags)"""
+
+
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SESSION_CTES: events + (us, session_id). Gap compare
+    runs in the µs domain on BOTH engines (DuckDB's parquet reader floors
+    ts to µs; Spark sees exact int64 nanos) — `div`, never `/`, since ns
+    epochs exceed double's 2^53 mantissa."""
+    ev = load_table(spark, sf_dir, "events").withColumn("us", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flags = ev.withColumn(
+        "new_session",
+        F.when(F.col("us") - F.lag("us").over(w) > _SESSION_GAP_US, 1).otherwise(0),
+    )
+    return flags.withColumn(
+        "session_id", F.sum("new_session").over(cum).cast("long")
+    )
+
+
 # --- sessionization over events (gap-based; streaming sibling in streaming/) ---
 @register(
     "events_sessionize",
-    """
-    WITH flags AS (
-      SELECT user_id, event_id, ts,
-             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id)
-                  > 1800000000 THEN 1 ELSE 0 END AS new_session
-      FROM events),
-    sess AS (
-      SELECT user_id, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM flags)
+    f"""
+    WITH {_SESSION_CTES}
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            COUNT(*) AS n_events
     FROM sess GROUP BY user_id, session_id
@@ -379,23 +405,10 @@ def topk_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="gap-based sessionization (30 min): lag + cumulative sum, one shuffle",
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Gap compare runs in the µs domain on BOTH engines: Spark sees exact
-    # int64 nanos (nanosAsLong) but DuckDB's parquet reader floors ts to µs,
-    # so a ns-precision gap within 1µs of the threshold would flip a session
-    # boundary and cascade ids.  `div` (integer floor-div), never `/`: ns
-    # epochs exceed double's 2^53 mantissa.
-    # (and the window ORDER BY likewise uses µs so same-µs events tie-break
-    # identically by event_id on both engines)
-    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_us = 30 * 60 * 1_000_000
-    flags = ev.withColumn(
-        "new_session",
-        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1).otherwise(0),
+    sess = _sessionized(spark, sf_dir)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
     )
-    sess = flags.withColumn("session_id", F.sum("new_session").over(cum).cast("long"))
-    return sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
 
 
 # --- JSON scalar extraction from the events props column ---
@@ -1999,18 +2012,8 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_top_session_paths",
-    """
-    WITH flags AS (
-      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
-             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id)
-                  > 1800000000 THEN 1 ELSE 0 END AS new_session
-      FROM events),
-    sess AS (
-      SELECT user_id, event_id, event_type, us,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM flags),
+    f"""
+    WITH {_SESSION_CTES},
     paths AS (
       SELECT user_id, session_id,
              string_agg(event_type, '>' ORDER BY us, event_id) AS path
@@ -2030,19 +2033,7 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top-10 via TakeOrderedAndProject with (count desc, path) tie order",
 )
 def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "us", F.expr("ts div 1000")
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_us = 30 * 60 * 1_000_000
-    flags = ev.withColumn(
-        "new_session",
-        F.when(F.col("us") - F.lag("us").over(w) > gap_us, 1).otherwise(0),
-    )
-    sess = flags.withColumn(
-        "session_id", F.sum("new_session").over(cum).cast("long")
-    )
+    sess = _sessionized(spark, sf_dir)
     ordered = F.array_sort(
         F.collect_list(F.struct("us", "event_id", "event_type"))
     )

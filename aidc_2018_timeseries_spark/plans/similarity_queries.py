@@ -30,15 +30,19 @@ def _queries_df(vectors: DataFrame) -> DataFrame:
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % {_QUERY_STRIDE} = 0),
     scored AS (
+      -- zero-norm guard mirrors the Spark side's NULL-cosine filter
+      -- (DuckDB would compute NaN, which sorts ABOVE every real sim)
       SELECT q.query_id, v.vec_id AS neighbor_id,
-             ROUND(list_dot_product(v.e, q.qe)
-                   / (SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(q.qe, q.qe))),
-                   6) AS sim
+             CASE WHEN list_dot_product(v.e, v.e) > 0
+                   AND list_dot_product(q.qe, q.qe) > 0 THEN
+               ROUND(list_dot_product(v.e, q.qe)
+                     / (SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(q.qe, q.qe))),
+                     6) END AS sim
       FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id) AS rank
-      FROM scored)
+      FROM scored WHERE sim IS NOT NULL)
     SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= {_K}
     """,
     doc="exact cosine top-5 per query (query set broadcast, corpus scan-shaped)",
@@ -92,16 +96,19 @@ def knn_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent AS (SELECT label AS c_label, list(c ORDER BY i) AS ce
              FROM comp GROUP BY label),
     scored AS (
+      -- zero-norm guard mirrors the Spark side's NULL-cosine filter
       SELECT v.vec_id, v.label, c.c_label,
-             ROUND(list_dot_product(v.e, c.ce)
-                   / (SQRT(list_dot_product(v.e, v.e))
-                      * SQRT(list_dot_product(c.ce, c.ce))), 6) AS sim
+             CASE WHEN list_dot_product(v.e, v.e) > 0
+                   AND list_dot_product(c.ce, c.ce) > 0 THEN
+               ROUND(list_dot_product(v.e, c.ce)
+                     / (SQRT(list_dot_product(v.e, v.e))
+                        * SQRT(list_dot_product(c.ce, c.ce))), 6) END AS sim
       FROM v CROSS JOIN cent c
     ),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                    ORDER BY sim DESC, c_label) AS rk
-      FROM scored)
+      FROM scored WHERE sim IS NOT NULL)
     SELECT vec_id, label, c_label AS assigned_label, sim FROM ranked
     WHERE rk = 1
     """,
@@ -131,7 +138,8 @@ def kmeans_step_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("c_label"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.filter(F.col("sim").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("vec_id", "label", F.col("c_label").alias("assigned_label"), "sim")
     )

@@ -115,3 +115,48 @@ def test_similarity_ops_survive_zero_vectors(spark):
     for r in got:
         by_q.setdefault(r["query_id"], []).append(r)
     assert 0 not in by_q and len(by_q[5]) == 3
+
+
+def test_centroid_assignment_forms_agree_with_zero_vectors(spark):
+    from aidc_2018_timeseries_spark.operators import similarity as sim
+
+    # vec_id 0 is a zero vector AND lands at a stride position, so the
+    # centroid set contains a zero-norm centroid too — both forms must
+    # drop the zero vector, never assign anything to the zero centroid,
+    # and agree on every remaining assignment
+    rows = [(0, [0.0] * 8, 0)] + [
+        (i, [float((-1) ** i * (i + j)) for j in range(8)], 0) for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents = sim.stride_centroids(df, 5)
+    expr = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in sim.assign_centroids(df, cents).collect()
+    )
+    arrow = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in sim.assign_centroids_arrow(df, cents).collect()
+    )
+    assert expr == arrow
+    assert all(v != 0 for v, _ in expr)  # zero vector dropped
+    assert all(c != 0 for _, c in expr)  # zero centroid never wins
+
+
+def test_ivf_and_rp_lsh_skip_zero_norm_queries(spark):
+    from pyspark.sql import functions as F2
+
+    from aidc_2018_timeseries_spark.operators import similarity as sim
+
+    rows = [(0, [0.0] * 8, 0)] + [
+        (i, [float(i + j) for j in range(8)], 0) for i in range(1, 30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.select(
+        F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("query_vec")
+    ).filter(F2.col("query_id").isin(0, 7))
+    ivf = sim.ivf_topk(df, q, centroid_stride=7, n_probe=2, k=3).collect()
+    assert all(r["query_id"] != 0 for r in ivf) and any(
+        r["query_id"] == 7 for r in ivf
+    )
+    lsh = sim.rp_lsh_topk(df, q, n_tables=4, n_bits=3, k=3, dim=8).collect()
+    assert all(r["sim"] is not None for r in lsh)
