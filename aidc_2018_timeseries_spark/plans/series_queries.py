@@ -805,22 +805,27 @@ def series_downsample_maxdev(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "forecast_backtest_folds",
     """
-    WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, value FROM events),
-    b AS (SELECT user_id, t_us, event_id, value,
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id,
+                      CAST(ROUND(value * 1000000) AS BIGINT) AS v_u FROM events),
+    b AS (SELECT user_id, t_us, event_id, v_u,
                  NTILE(5) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS fold
           FROM e),
     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, fold
                                        ORDER BY t_us DESC, event_id DESC) AS rn
           FROM b),
-    f AS (SELECT user_id, fold, COUNT(*) AS n_points, AVG(value) AS m1,
-                 AVG(value * value) AS m2,
-                 MAX(CASE WHEN rn = 1 THEN value END) AS last_v
+    f AS (SELECT user_id, fold, COUNT(*) AS n_points,
+                 SUM(v_u) AS s1,
+                 SUM(CAST(v_u AS HUGEINT) * v_u) AS s2,
+                 MAX(CASE WHEN rn = 1 THEN v_u END) AS last_u
           FROM r GROUP BY user_id, fold),
-    g AS (SELECT *, LAG(last_v) OVER (PARTITION BY user_id ORDER BY fold) AS train_last
+    g AS (SELECT *, LAG(last_u) OVER (PARTITION BY user_id ORDER BY fold) AS c_u
           FROM f)
-    SELECT user_id, fold, n_points, ROUND(m1, 6) AS fold_mean, train_last,
-           ROUND(m2 - 2 * train_last * m1 + train_last * train_last, 6)
-             AS mse_persistence
+    SELECT user_id, fold, n_points,
+           ROUND(CAST(s1 AS DOUBLE) / n_points / 1000000.0, 6) AS fold_mean,
+           ROUND(CAST(c_u AS DOUBLE) / 1000000.0, 6) AS train_last,
+           ROUND(CAST(s2 - 2 * CAST(c_u AS HUGEINT) * s1
+                         + n_points * CAST(c_u AS HUGEINT) * c_u AS DOUBLE)
+                 / n_points / 1000000000000.0, 6) AS mse_persistence
     FROM g
     """,
     doc="expanding-window backtest (rolling-origin time-series CV): 5 "
@@ -829,7 +834,11 @@ def series_downsample_maxdev(spark: SparkSession, sf_dir: str) -> DataFrame:
     "final value) via closed-form fold moments — no join back to points. "
     "The per-fold MSE floor a trained forecaster must beat, generalizing "
     "the reference's single W13 time split to K ordered folds. One "
-    "series-keyed window pass + one (series, fold) aggregate",
+    "series-keyed window pass + one (series, fold) aggregate. Round-6 "
+    "hardening: moments are EXACT integer micro-unit sums (sum-of-squares "
+    "in hugeint/decimal(38,0)) so the like-magnitude subtraction in "
+    "m2 − 2c·m1 + c² has no accumulation-order rounding surface — the "
+    "round-5 driver red row was a 6-dp boundary flip on exactly that form",
 )
 def forecast_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir).select(
