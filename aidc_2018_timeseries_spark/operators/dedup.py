@@ -507,6 +507,120 @@ def blocked_edit_distance_pairs(
     return pairs.select("id_a", "id_b", *(block_cols or []), "title_dist")
 
 
+def exact_collapse(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    key_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate PRE-COLLAPSE for the quadratic pairwise operators:
+    group docs by normalized content hash (plus ``key_cols``, when the
+    downstream operator blocks on extra columns), pick each group's
+    minimum id as representative, and return ``(mapping, representatives)``
+    — mapping is (id_col, canonical_id) for EVERY doc, representatives is
+    the subset of ``df`` rows whose id is their group's canonical id.
+
+    Why: the round-5 10× audits showed the worst case for containment /
+    edit-distance linkage is a corpus of identical copies — the TRUE pair
+    relation is quadratic in copy count, so any direct computation is
+    output-bound. But every pairwise verdict between docs is a function
+    of their (normalized content, key_cols) alone, so computing on one
+    representative per identical group and expanding verdicts back over
+    members is exact and reduces the quadratic to the UNIQUE-content
+    corpus. One content-hash-keyed window shuffle + one id semi-join.
+    """
+    keys = ["_chash", *(key_cols or [])]
+    # project to (id, keys, digest) BEFORE the window: the content-hash
+    # shuffle must carry 16-byte digests, never document bodies
+    hashed = _spread(df, id_col).select(
+        F.col(id_col),
+        *[F.col(c) for c in (key_cols or [])],
+        content_hash(text_col).alias("_chash"),
+    )
+    w = Window.partitionBy(*keys)
+    mapping = hashed.select(
+        F.col(id_col), F.min(id_col).over(w).alias("canonical_id")
+    )
+    reps = df.join(
+        mapping.filter(F.col(id_col) == F.col("canonical_id")).select(id_col),
+        id_col,
+        "semi",
+    )
+    return mapping, reps
+
+
+def ngram_containment_pairs_collapsed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """:func:`ngram_containment_pairs` with :func:`exact_collapse` in
+    front — identical output, but the posting join and exact verification
+    run over one representative per identical-content group.
+
+    Expansion is exact because containment is a pure function of the two
+    shingle SETS, and identical normalized content ⟹ identical token
+    sequence ⟹ identical (distinct) shingle set:
+    - cross-group: C(a→b) = C(rep(a)→rep(b)) for every member pair —
+      two membership joins against the rep-level result;
+    - within-group: every ordered pair of distinct members has
+      containment exactly 1.0 (n/n — exact in IEEE), PROVIDED the group's
+      content has ≥ 1 shingle; shingle-less docs (< n tokens) produce no
+      output in the direct operator and are guarded out here too.
+
+    On the round-5 worst case (every doc duplicated 10×) this turns an
+    output-bound 1000× pair explosion into rep-level work that matches
+    the 1× corpus plus a membership-join expansion that is linear in the
+    true output size — which is the best possible, since the output must
+    be written either way.
+    """
+    mapping, reps = exact_collapse(df, id_col, text_col)
+    rep_pairs = ngram_containment_pairs(
+        reps, id_col, text_col, shingle_n, threshold, max_df
+    )
+    ma = mapping.select(
+        F.col("canonical_id").alias("id_a"), F.col(id_col).alias("_ma")
+    )
+    mb = mapping.select(
+        F.col("canonical_id").alias("id_b"), F.col(id_col).alias("_mb")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.col("_ma").alias("id_a"),
+            F.col("_mb").alias("id_b"),
+            "containment",
+        )
+    )
+    shingled = reps.select(
+        F.col(id_col).alias("_canon"),
+        (F.size(shingle_hashes(F.col(text_col), n=shingle_n)) > 0).alias(
+            "_has_sh"
+        ),
+    )
+    mx = mapping.select(
+        F.col("canonical_id").alias("_canon"), F.col(id_col).alias("_ma")
+    )
+    my = mapping.select(
+        F.col("canonical_id").alias("_canon"), F.col(id_col).alias("_mb")
+    )
+    intra = (
+        mx.join(my, "_canon")
+        .filter(F.col("_ma") != F.col("_mb"))
+        .join(shingled.filter(F.col("_has_sh")), "_canon", "semi")
+        .select(
+            F.col("_ma").alias("id_a"),
+            F.col("_mb").alias("id_b"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -727,11 +727,17 @@ def dedup_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prunes; the container side indexes full postings by necessity), "
     "one-sided size filter |B| >= t|A|, exact JVM-side verification; "
     "ratio unrounded (exact-integer division). The oracle restates the "
-    "naive posting join - prefix filtering must be lossless",
+    "naive posting join - prefix filtering must be lossless. Round 6: "
+    "computed through the exact-dup PRE-COLLAPSE (operators/dedup."
+    "ngram_containment_pairs_collapsed) — identical output, but the "
+    "posting join runs over one representative per identical-content "
+    "group, erasing the duplicated-corpus quadratic the round-5 10x "
+    "audit measured (the true output is still quadratic in copy count; "
+    "only the COMPUTE no longer is)",
 )
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return dd.ngram_containment_pairs(
+    return dd.ngram_containment_pairs_collapsed(
         d, "doc_id", "text", shingle_n=_SHINGLE_N, threshold=0.9
     )
 
@@ -756,18 +762,45 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "typo variants collapsing transitively (A~B, B~C => one entity even "
     "when A-C exceeds the distance bound). The record-linkage twin of "
     "dedup_clusters_cc (whose pairs come from MinHash); oracle = "
-    "recursive-CTE transitive closure over the identical pair relation",
+    "recursive-CTE transitive closure over the identical pair relation. "
+    "Round 6: edit-distance pairing runs on exact-dup representatives "
+    "only (collapse key = content hash + lang, matching the blocking "
+    "column), with star edges member→canonical restoring connectivity — "
+    "components and min-labels are IDENTICAL to the direct run because "
+    "identical (content, lang) docs share a block and pair at distance "
+    "0, while token-less docs (NULL block key, never pair directly) are "
+    "excluded from star edges to keep them singletons",
 )
 def dedup_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aidc_2018_timeseries_spark.operators.graph import connected_components
+    from aidc_2018_timeseries_spark.operators.text import tokenize
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.blocked_edit_distance_pairs(
-        d, "doc_id", "text", block_cols=["lang"], prefix_tokens=4, max_dist=3
+    mapping, reps = dd.exact_collapse(d, "doc_id", "text", key_cols=["lang"])
+    rep_pairs = dd.blocked_edit_distance_pairs(
+        reps, "doc_id", "text", block_cols=["lang"], prefix_tokens=4, max_dist=3
     ).select("id_a", "id_b")
+    # star edges: member -> its group's canonical, but ONLY for groups
+    # whose content has >= 1 token — a token-less doc has a NULL block key
+    # and never pairs in the direct computation, so its identical copies
+    # must stay singletons here too
+    tokened = reps.filter(F.size(tokenize(F.col("text"))) > 0).select(
+        F.col("doc_id").alias("canonical_id")
+    )
+    star = (
+        mapping.filter(F.col("doc_id") != F.col("canonical_id"))
+        .join(tokened, "canonical_id", "semi")
+        .select(
+            F.col("doc_id").alias("id_a"), F.col("canonical_id").alias("id_b")
+        )
+    )
     nodes = d.select("doc_id")
     return connected_components(
-        nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+        nodes,
+        rep_pairs.unionByName(star),
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
     ).select(F.col("node").alias("doc_id"), F.col("label").alias("entity_id"))
 
 

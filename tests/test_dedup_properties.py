@@ -101,3 +101,113 @@ def test_one_sided_filtered_containment_is_lossless(spark):
             ).collect()
         }
         assert got == _brute_containment(docs, 0.9), f"seed {seed}"
+
+
+def _corpus_with_copies(seed: int) -> dict[int, str]:
+    """Random corpus plus planted identical copies (the pre-collapse
+    target), shingle-less short docs, and empty docs — the edge cases the
+    collapsed form must keep byte-identical to the direct form."""
+    rng = random.Random(1000 + seed)
+    docs = _random_corpus(seed)
+    did = max(docs) + 1
+    # duplicate several docs 2-4x, including case/whitespace variants that
+    # normalize to the same content hash
+    for src in rng.sample(sorted(docs), k=min(4, len(docs))):
+        for _ in range(rng.randint(1, 3)):
+            text = docs[src]
+            if rng.random() < 0.5:
+                text = "  " + text.upper() + " "
+            docs[did] = text
+            did += 1
+    docs[did] = "w1 w2"  # tokens but no 3-shingle
+    docs[did + 1] = docs[did]  # identical shingle-less copy
+    docs[did + 2] = "   "  # token-less
+    docs[did + 3] = ""  # empty (same content hash as token-less)
+    return docs
+
+
+def test_collapsed_containment_equals_direct(spark):
+    from aidc_2018_timeseries_spark.operators.dedup import (
+        ngram_containment_pairs_collapsed,
+    )
+
+    for seed in range(4):
+        docs = _corpus_with_copies(seed)
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        direct = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in ngram_containment_pairs(
+                df, "doc_id", "text", threshold=0.9
+            ).collect()
+        }
+        collapsed = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in ngram_containment_pairs_collapsed(
+                df, "doc_id", "text", threshold=0.9
+            ).collect()
+        }
+        assert collapsed == direct, f"seed {seed}"
+
+
+def test_collapsed_linkage_clusters_equal_direct(spark):
+    """CC over (rep pairs + star edges) == CC over direct blocked pairs,
+    including lang-split identical content and token-less singletons."""
+    from aidc_2018_timeseries_spark.operators.dedup import (
+        blocked_edit_distance_pairs,
+        exact_collapse,
+    )
+    from aidc_2018_timeseries_spark.operators.graph import connected_components
+    from aidc_2018_timeseries_spark.operators.text import tokenize
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    rows = []
+    did = 0
+    titles = ["alpha beta gamma delta", "alpha betta gamma delta",
+              "omega psi chi phi", "different title here now"]
+    for t in titles:
+        for lang in ("en", "de"):
+            for _ in range(rng.randint(1, 3)):
+                rows.append((did, t + " body filler", lang))
+                did += 1
+    rows.append((did, "", "en"))
+    rows.append((did + 1, "", "en"))  # identical empty pair: must stay apart
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    direct_pairs = blocked_edit_distance_pairs(
+        df, "doc_id", "text", block_cols=["lang"], prefix_tokens=4, max_dist=3
+    ).select("id_a", "id_b")
+    nodes = df.select("doc_id")
+    direct = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            nodes, direct_pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+        ).collect()
+    }
+
+    mapping, reps = exact_collapse(df, "doc_id", "text", key_cols=["lang"])
+    rep_pairs = blocked_edit_distance_pairs(
+        reps, "doc_id", "text", block_cols=["lang"], prefix_tokens=4, max_dist=3
+    ).select("id_a", "id_b")
+    tokened = reps.filter(F.size(tokenize(F.col("text"))) > 0).select(
+        F.col("doc_id").alias("canonical_id")
+    )
+    star = (
+        mapping.filter(F.col("doc_id") != F.col("canonical_id"))
+        .join(tokened, "canonical_id", "semi")
+        .select(F.col("doc_id").alias("id_a"), F.col("canonical_id").alias("id_b"))
+    )
+    collapsed = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            nodes,
+            rep_pairs.unionByName(star),
+            id_col="doc_id",
+            src_col="id_a",
+            dst_col="id_b",
+        ).collect()
+    }
+    assert collapsed == direct
