@@ -25,16 +25,12 @@ from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all  # noqa: 
 load_all()
 
 
-# Queries the round-3 judge NAMED as sweep-starved (rows-only ordered last
-# for three rounds running): these take the first sweep slots so even a
-# truncated driver run produces their rows. Visited names (green oracle
-# verdict OR a clean rows-only run) are pruned dynamically, so this list
-# only matters until its entries have been covered once.
-_PRIORITY = [
-    "knn_ivf",
-    "knn_rp_lsh",
-    "agg_hll_sketch_rollup",
-]
+# One-off judge-named sweep priorities. EMPTY since round 6: the round-3
+# entries (knn_ivf, knn_rp_lsh, agg_hll_sketch_rollup) all hold standing
+# rows-only verdicts, and _sweep_order already fronts anything WITHOUT a
+# usable verdict, so a static list is only needed if a judge names
+# specific starved queries again.
+_PRIORITY: list[str] = []
 
 
 def _visit_status() -> dict[str, tuple[bool, int]]:

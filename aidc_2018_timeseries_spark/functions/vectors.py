@@ -36,6 +36,15 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     moment a corpus contains an all-zero embedding (a real occurrence:
     padding rows, failed encoders). NULL never passes a ``sim >= t``
     filter, so zero vectors simply never match — the behavior every
-    caller wants. Found by the zero-vector edge battery."""
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom > 0, dot(a, b) / denom)
+    caller wants. Found by the zero-vector edge battery.
+
+    The guard tests each norm INDIVIDUALLY, not their product: for
+    subnormal-magnitude vectors (components ≲ 1e-154) two positive norms
+    can multiply to exactly 0.0, and the Arrow kernels
+    (assign_centroids_arrow et al.) mask on per-vector norm > 0 — a
+    product guard would make the expression and Arrow forms disagree on
+    exactly those vectors (ADVICE r5)."""
+    return F.when(
+        (l2_norm(a) > 0) & (l2_norm(b) > 0),
+        dot(a, b) / (l2_norm(a) * l2_norm(b)),
+    )

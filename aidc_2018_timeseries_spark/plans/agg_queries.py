@@ -390,7 +390,8 @@ def events_concurrency_curve_global(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT event_type,
            CAST(user_id % 100 AS BIGINT) AS user_mod,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0, 4)
+             AS sum_value
     FROM events GROUP BY event_type, user_id % 100
     """,
     doc="incremental aggregate maintenance (materialized-view merge): the "
@@ -405,14 +406,20 @@ def events_concurrency_curve_global(spark: SparkSession, sf_dir: str) -> DataFra
     "maintenance cost = delta scan + one tiny merge shuffle, vs a full "
     "recompute's corpus scan. AVG/stddev maintain the same way from "
     "(count, sum, sum-of-squares); exact DISTINCT does not — that is "
-    "what the mergeable-HLL face (agg_hll_sketch_rollup) is for",
+    "what the mergeable-HLL face (agg_hll_sketch_rollup) is for. "
+    "Partials are integer MICRO-UNITS (round 6): bigint partial sums are "
+    "EXACTLY associative, so merge == recompute holds by arithmetic "
+    "identity instead of resting on a 4-dp round absorbing order-"
+    "dependent double ulps (ADVICE r5) — which is also the form a real "
+    "MV should store, since a drifting double partial silently corrupts "
+    "every later merge",
 )
 def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
         (F.col("user_id") % 100).alias("user_mod"),
-        "value",
+        F.round(F.col("value") * 1_000_000, 0).cast("long").alias("v_u"),
     )
     # deterministic 90/10 base/batch split (a day's ingest)
     base = ev.filter(F.col("event_id") % 10 < 9)
@@ -420,7 +427,7 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def partials(df: DataFrame) -> DataFrame:
         return df.groupBy("event_type", "user_mod").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+            F.count(F.lit(1)).alias("n"), F.sum("v_u").alias("s_u")
         )
 
     merged = (
@@ -429,7 +436,7 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "user_mod")
         .agg(
             F.sum("n").alias("n_events"),
-            F.round(F.sum("s"), 4).alias("sum_value"),
+            F.round(F.sum("s_u") / 1_000_000.0, 4).alias("sum_value"),
         )
     )
     return merged.select("event_type", "user_mod", "n_events", "sum_value")

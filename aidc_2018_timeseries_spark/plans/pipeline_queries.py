@@ -699,7 +699,7 @@ _HDOC_TEMP = hash64_seeded_sql("CAST(doc_id AS VARCHAR)", "mix:temp")
     f"""
     WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
     t AS (SELECT SUM(n) AS tot FROM c),
-    w AS (SELECT source, ROUND(POWER(tot * 1.0 / n, 0.5), 6) AS w6
+    w AS (SELECT source, ROUND(SQRT(tot * 1.0 / n), 6) AS w6
           FROM c CROSS JOIN t),
     d AS (SELECT doc_id, documents.source,
                  CAST(FLOOR(w6) AS BIGINT)
@@ -730,12 +730,17 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     counts = d.groupBy("source").count().collect()
     tot = sum(r["count"] for r in counts)
+    # math.sqrt, NOT ** 0.5: IEEE-754 sqrt is correctly rounded in every
+    # conforming libm, so math.sqrt(tot/n) and the oracle's
+    # SQRT(tot*1.0/n) are bit-identical; pow(x, 0.5) carries no such
+    # guarantee and a one-ulp libm difference at a millionth-quantization
+    # boundary would flip a copy count (ADVICE r5).
     # floor(x*1e6 + 0.5): decimal HALF-UP quantization, matching the
-    # oracle's ROUND(POWER(...), 6) (half away from zero == half-up for
+    # oracle's ROUND(..., 6) (half away from zero == half-up for
     # positive weights). Python's round() is banker's rounding and would
     # diverge by one micro-unit exactly at halfway boundaries.
     weights = {
-        r["source"]: math.floor((tot / r["count"]) ** 0.5 * 1e6 + 0.5) / 1e6
+        r["source"]: math.floor(math.sqrt(tot / r["count"]) * 1e6 + 0.5) / 1e6
         for r in counts
     }
     return upweight_mixture(d, "doc_id", "source", weights, seed="temp")
