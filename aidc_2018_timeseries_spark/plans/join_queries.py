@@ -153,7 +153,9 @@ def range_join_error_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted_per_supplier",
     """
     SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_lines,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                     * 1000000) AS HUGEINT)) AS DOUBLE)
+                 / 1000000.0, 4) AS revenue
     FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
     GROUP BY s.s_suppkey, s.s_name
     """,
@@ -161,7 +163,12 @@ def range_join_error_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "big side's keys scatter across 16 salt sub-keys and the small side "
     "replicates per salt, so one hot supplier can never pin a whole "
     "reducer. The oracle is the PLAIN join + aggregate — salting must be "
-    "row-identical to the unsalted join (the salt never leaks out)",
+    "row-identical to the unsalted join (the salt never leaks out). "
+    "Per-line revenue is quantized to integer micro-units before the sum "
+    "(round-6 skew audit: salted vs plain accumulate in different orders "
+    "by construction, and on a Zipf decade the double-sum ulps crossed "
+    "the 4-dp round on hot suppliers — exact bigint sums make "
+    "salted == plain an identity, not a rounding accident)",
 )
 def join_salted_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aidc_2018_timeseries_spark.operators.joins import salted_join
@@ -171,10 +178,13 @@ def join_salted_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     joined = salted_join(li, s, on="s_suppkey", n_salts=16, how="inner")
+    rev_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000, 0
+    ).cast("decimal(38,0)")
     return joined.groupBy("s_suppkey", "s_name").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            F.sum(rev_u).cast("double") / F.lit(1_000_000.0), 4
         ).alias("revenue"),
     )
 
