@@ -130,3 +130,83 @@ def concurrency_curve_global(
         bounds, "day_bucket", ["t_us", "delta", "bid"], "delta", out_col="conc"
     )
     return out.select("t_us", "delta", "bid", "conc")
+
+
+def sessionize_bucketed(
+    df: DataFrame,
+    key: str,
+    us_col: str,
+    id_col: str,
+    gap_us: int,
+    bucket_us: int,
+) -> DataFrame:
+    """Gap-based sessionization with BOUNDED window partitions — the
+    skew-proof form of the plain (key)-partitioned lag+cumsum sessionize.
+
+    The plain form puts a user's ENTIRE history in one window partition;
+    the round-6 Zipf audit measured a hot user holding 45% of a 10M-row
+    stream turning the whole query into one task's sort (SCALING.md).
+    This form is the hierarchical prefix-sum template applied to session
+    numbering:
+
+    1. events window within (key, us div bucket_us) — partitions bounded
+       by the bucket width, parallel across a hot user's time range;
+       local new-session flags + local flag-prefix-sums there;
+    2. a per-(key, bucket) summary relation (first/last event time, local
+       flag total) — thousands of rows per key at most — carries the
+       cross-bucket recursion: a bucket's FIRST event starts a new
+       session iff its gap from the previous bucket's last event exceeds
+       ``gap_us``, and bucket offsets are an exclusive prefix sum of
+       (local flags + first-event flag) over the tiny summary;
+    3. offsets broadcast back; session_id = offset + first_flag +
+       local prefix — row-for-row IDENTICAL to the plain form (corrected
+       flags partition the same global prefix sum), which the equality
+       pytest pins on corpora with bucket-spanning sessions and
+       exact-boundary gaps.
+
+    Output: input columns + ``session_id`` (long, 0-based per key, same
+    numbering as the plain form).
+    """
+    b = (F.col(us_col) / F.lit(bucket_us)).cast("long")
+    w_in = Window.partitionBy(key, "_b").orderBy(us_col, id_col)
+    w_cum = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = (
+        df.withColumn("_b", b)
+        .withColumn(
+            "_flag",
+            F.when(
+                F.col(us_col) - F.lag(us_col).over(w_in) > gap_us, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_local_cum", F.sum("_flag").over(w_cum))
+    )
+    summary = flagged.groupBy(key, "_b").agg(
+        F.min(us_col).alias("_first_us"),
+        F.max(us_col).alias("_last_us"),
+        F.sum("_flag").alias("_flags"),
+    )
+    w_b = Window.partitionBy(key).orderBy("_b")
+    w_boff = w_b.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    first_flag = F.when(
+        F.lag("_last_us").over(w_b).isNull(), F.lit(0)
+    ).otherwise(
+        (F.col("_first_us") - F.lag("_last_us").over(w_b) > gap_us).cast("int")
+    )
+    stitched = summary.withColumn("_ff", first_flag).withColumn(
+        "_off",
+        F.sum(F.col("_flags") + F.col("_ff")).over(w_boff)
+        - (F.col("_flags") + F.col("_ff")),
+    )
+    # plain equi-join, NOT broadcast: the offsets relation is (key, bucket)
+    # -cardinality (≈ one row per user at 100 TB — a user-dim-sized
+    # relation), and the big side already carries the (key, bucket)
+    # partitioning from its window, so this join adds no big-side shuffle
+    offsets = stitched.select(key, "_b", "_ff", "_off")
+    return (
+        flagged.join(offsets, [key, "_b"])
+        .withColumn(
+            "session_id",
+            (F.col("_off") + F.col("_ff") + F.col("_local_cum")).cast("long"),
+        )
+        .drop("_b", "_flag", "_local_cum", "_ff", "_off")
+    )

@@ -411,6 +411,48 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_sessionize_bucketed",
+    f"""
+    WITH {_SESSION_CTES}
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="SKEW-PROOF sessionization (operators/intervals.py:"
+    "sessionize_bucketed): the hierarchical prefix-sum stitch applied to "
+    "session numbering — per-(user, day-bucket) windows bound every "
+    "partition regardless of how hot a user is, and a (user, bucket) "
+    "summary relation carries the cross-bucket session recursion. The "
+    "round-6 Zipf audit measured plain sessionize degrading 2.4s → 6.0s "
+    "when one user holds 45% of a 10M-row stream (one un-splittable "
+    "window partition, the case neither salting nor AQE touches); this "
+    "face is the relief, and its oracle is the SAME plain-sessionize SQL "
+    "as events_sessionize — the stitch must be row-identical, which the "
+    "equality pytest also pins on bucket-boundary corpora",
+)
+def events_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.operators.intervals import (
+        sessionize_bucketed,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.expr("ts div 1000").alias("us"))
+    )
+    sess = sessionize_bucketed(
+        ev,
+        "user_id",
+        "us",
+        "event_id",
+        gap_us=_SESSION_GAP_US,
+        bucket_us=24 * 3600 * 1_000_000,
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
 # --- JSON scalar extraction from the events props column ---
 @register(
     "events_json_extract",
