@@ -29,6 +29,7 @@ HEADLINE = [
     "w1_rolling_mean",
     "a2_window_zscore",
     "events_sessionize",
+    "events_sessionize_bucketed",  # round 6: skew-proof twin, same oracle
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
