@@ -576,6 +576,15 @@ def ngram_containment_pairs_collapsed(
     the 1× corpus plus a membership-join expansion that is linear in the
     true output size — which is the best possible, since the output must
     be written either way.
+
+    ``max_df`` caveat: under collapse, shingle document frequencies are
+    counted over REPRESENTATIVES (one per unique content), not raw docs —
+    for the equality-to-direct guarantee pass ``max_df=None`` (the
+    default, and what the catalog face uses). With a cap set, the
+    rep-counted df is arguably the BETTER boilerplate signal (copy count
+    no longer inflates a shingle's df), but it is a different valve than
+    the direct operator's raw-df cap, so the two forms may keep/drop
+    different boilerplate-only pairs.
     """
     mapping, reps = exact_collapse(df, id_col, text_col)
     rep_pairs = ngram_containment_pairs(
