@@ -630,6 +630,140 @@ def ngram_containment_pairs_collapsed(
     return cross.unionByName(intra)
 
 
+def minhash_candidate_pairs_collapsed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """:func:`minhash_candidate_pairs` with :func:`exact_collapse` in
+    front — identical (id_a < id_b) pair relation, but signatures, band
+    explode, and the bucket join run over one representative per
+    identical-content group.
+
+    Expansion is exact because the MinHash signature is a pure function
+    of the (distinct) shingle set, which identical normalized content
+    shares:
+    - cross-group: members inherit their reps' band-collision verdict
+      (member sig == rep sig), so two membership joins expand the
+      rep-level pairs; least/greatest restores the id_a < id_b normal
+      form (member ids need not order like their reps);
+    - within-group: identical signatures collide in EVERY band, so each
+      unordered pair of distinct members of a shingled group is always a
+      candidate; shingle-less groups (< n tokens ⇒ no signature) produce
+      no pairs in the direct operator and are guarded out here too.
+
+    Why it matters at 100 TB: a duplicate-heavy crawl is the NORM, and
+    in the direct form each k-copy group contributes k·num_bands band
+    rows and C(k,2)·num_bands bucket-join matches before the distinct
+    (the round-5 bench's own worst case). Collapsed, the shingle explode
+    + signature aggregation — the dominant cost — touch unique content
+    only, and the copy-quadratic appears solely in the expanded OUTPUT,
+    which must be written either way.
+    """
+    mapping, reps = exact_collapse(df, id_col, text_col)
+    rep_pairs = minhash_candidate_pairs(
+        reps, id_col, text_col, num_hashes, num_bands, shingle_n
+    )
+    ma = mapping.select(
+        F.col("canonical_id").alias("id_a"), F.col(id_col).alias("_ma")
+    )
+    mb = mapping.select(
+        F.col("canonical_id").alias("id_b"), F.col(id_col).alias("_mb")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+        )
+    )
+    shingled = reps.select(
+        F.col(id_col).alias("_canon"),
+        (F.size(shingle_hashes(F.col(text_col), n=shingle_n)) > 0).alias(
+            "_has_sh"
+        ),
+    )
+    mx = mapping.select(
+        F.col("canonical_id").alias("_canon"), F.col(id_col).alias("_ma")
+    )
+    my = mapping.select(
+        F.col("canonical_id").alias("_canon"), F.col(id_col).alias("_mb")
+    )
+    intra = (
+        mx.join(my, "_canon")
+        .filter(F.col("_ma") < F.col("_mb"))
+        .join(shingled.filter(F.col("_has_sh")), "_canon", "semi")
+        .select(F.col("_ma").alias("id_a"), F.col("_mb").alias("id_b"))
+    )
+    return cross.unionByName(intra)
+
+
+def minhash_components_collapsed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Connected components over the MinHash candidate graph, with
+    :func:`exact_collapse` in front — (node, label) over the SHINGLED
+    docs, byte-identical to ``connected_components(shingled nodes,
+    minhash_candidate_pairs(df))`` (pytest-pinned).
+
+    Instead of expanding the copy-quadratic intra-group pair cliques and
+    feeding them to CC, each identical-content group enters the graph as
+    a linear STAR — member → canonical edges (the
+    ``dedup_linkage_clusters`` pattern) — which preserves connectivity
+    exactly: within a group the star connects what the clique connected;
+    across groups an (a, b) band collision exists iff the (rep(a),
+    rep(b)) collision does, and the rep edge plus two star paths restores
+    it. Labels agree because min-label CC labels a component by its
+    minimum node id, and the node SET per component is unchanged (the
+    rep is its group's min id by construction, so star edges never
+    introduce a smaller id than the clique would).
+
+    Star edges attach only to groups whose content has ≥ 1 shingle: an
+    unshingled doc has no signature and stays a CC singleton in the
+    direct form, so its identical copies must stay singletons here too
+    (they are not CC nodes at all — the face layer handles unshingled
+    docs as self-components).
+
+    This is the scale path for cluster-then-select pipelines
+    (keep-best-quality canonicalization): the CC iteration — the
+    heaviest stage — runs on the unique-content graph, and copies rejoin
+    via |members| star edges rather than Σ C(k,2) clique edges.
+    """
+    from aidc_2018_timeseries_spark.operators.graph import connected_components
+
+    mapping, reps = exact_collapse(df, id_col, text_col)
+    rep_pairs = minhash_candidate_pairs(
+        reps, id_col, text_col, num_hashes, num_bands, shingle_n
+    )
+    shingled_canon = reps.filter(
+        F.size(shingle_hashes(F.col(text_col), n=shingle_n)) > 0
+    ).select(F.col(id_col).alias("canonical_id"))
+    star = (
+        mapping.filter(F.col(id_col) != F.col("canonical_id"))
+        .join(shingled_canon, "canonical_id", "semi")
+        .select(
+            F.col(id_col).alias("id_a"), F.col("canonical_id").alias("id_b")
+        )
+    )
+    nodes = mapping.join(shingled_canon, "canonical_id", "semi").select(id_col)
+    return connected_components(
+        nodes,
+        rep_pairs.unionByName(star),
+        id_col=id_col,
+        src_col="id_a",
+        dst_col="id_b",
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str,

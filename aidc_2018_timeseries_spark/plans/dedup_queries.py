@@ -90,7 +90,13 @@ def _minhash_oracle() -> str:
     "dedup_minhash_pairs",
     _minhash_oracle(),
     doc="MinHash(16)+LSH(4 bands) candidate pairs — shingle→minhash→band→"
-    "bucket-join; only band keys shuffle, never the doc cross product",
+    "bucket-join; only band keys shuffle, never the doc cross product. "
+    "Stays the DIRECT form after the round-6 collapse audit: banded LSH "
+    "is already within bands× of its (inherently copy-quadratic) output "
+    "and signatures are copy-linear, so exact-dup pre-collapse measured "
+    "as a wash at 10 copies and a 3× regression on a dup-free corpus — "
+    "minhash_candidate_pairs_collapsed exists (equality pytest-pinned) "
+    "for extreme-duplication corpora; SCALING.md round-6 has the numbers",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -348,7 +354,11 @@ def _cc_oracle() -> str:
     "components (min-label propagation, operators/graph.py). The full "
     "dedup pipeline's final step: every doc labeled with its duplicate "
     "cluster's canonical (minimum) id; singletons label themselves. "
-    "Oracle = recursive-CTE transitive closure over the same pairs.",
+    "Oracle = recursive-CTE transitive closure over the same pairs. "
+    "Direct form by measurement: collapse pays only past ~20-30 copies "
+    "per content (clique edges re-shuffle every CC round) — "
+    "minhash_components_collapsed is the pytest-pinned variant for that "
+    "regime (SCALING.md round-6 crossover table)",
 )
 def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -470,7 +480,9 @@ def _keep_best_oracle() -> str:
     "No-shingle docs are their own singletons. The argmax window runs "
     "over the component-labeled relation (one shuffle on component_id, "
     "already the CC output partitioning); quality rounds at 6 dp BEFORE "
-    "ranking so the cross-engine order is deterministic",
+    "ranking so the cross-engine order is deterministic. Swap "
+    "connected_components for minhash_components_collapsed on corpora "
+    "past ~20-30 copies per content (SCALING.md round-6 crossover)",
 )
 def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

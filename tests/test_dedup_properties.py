@@ -211,3 +211,68 @@ def test_collapsed_linkage_clusters_equal_direct(spark):
         ).collect()
     }
     assert collapsed == direct
+
+
+def test_collapsed_minhash_pairs_equal_direct(spark):
+    """minhash_candidate_pairs_collapsed == minhash_candidate_pairs on
+    corpora with planted identical copies (incl. normalization variants),
+    shingle-less docs, and empty docs — the signature is a pure function
+    of the shingle set, so the expansion must be lossless AND add nothing."""
+    from aidc_2018_timeseries_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_candidate_pairs_collapsed,
+    )
+
+    for seed in range(4):
+        docs = _corpus_with_copies(seed)
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        direct = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_candidate_pairs(df, "doc_id", "text").collect()
+        }
+        collapsed_rows = minhash_candidate_pairs_collapsed(
+            df, "doc_id", "text"
+        ).collect()
+        collapsed = {(r["id_a"], r["id_b"]) for r in collapsed_rows}
+        assert len(collapsed_rows) == len(collapsed), f"seed {seed}: dup rows"
+        assert collapsed == direct, f"seed {seed}"
+
+
+def test_collapsed_minhash_components_equal_direct(spark):
+    """minhash_components_collapsed (rep graph + star edges) must produce
+    the exact (node, label) relation of CC over the direct candidate
+    graph: same node set (shingled docs only — identical unshingled
+    copies must NOT merge) and same min-id labels."""
+    from pyspark.sql import functions as F
+
+    from aidc_2018_timeseries_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_components_collapsed,
+    )
+    from aidc_2018_timeseries_spark.operators.graph import connected_components
+    from aidc_2018_timeseries_spark.operators.text import shingle_hashes
+
+    for seed in range(3):
+        docs = _corpus_with_copies(seed)
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        pairs = minhash_candidate_pairs(df, "doc_id", "text")
+        nodes = df.select("doc_id").where(
+            F.size(shingle_hashes(F.col("text"), n=3)) > 0
+        )
+        direct = {
+            r["node"]: r["label"]
+            for r in connected_components(
+                nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+            ).collect()
+        }
+        collapsed = {
+            r["node"]: r["label"]
+            for r in minhash_components_collapsed(
+                df, "doc_id", "text"
+            ).collect()
+        }
+        assert collapsed == direct, f"seed {seed}"
