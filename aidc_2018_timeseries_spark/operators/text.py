@@ -639,3 +639,75 @@ def bigram_logprob_score(
         "avg_logprob",
         F.round(F.exp(-F.col("avg_logprob")), 6).alias("perplexity"),
     )
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    adapted to token n-grams: per document, the fraction of mass taken by
+    the most frequent token and bigram, the fraction of trigram
+    occurrences that are repeats, and a `repetitive` verdict at the
+    published-style thresholds (top-bigram > 0.20 OR duplicate-trigram
+    > 0.30). Low-quality boilerplate/spam pages are dominated by repeated
+    phrases; this is the standard pre-training filter the lang-id /
+    stopword / length signals don't catch.
+
+    Shuffle structure: ONE explode of (doc, n, gram) rows → groupBy
+    (doc, n, gram) count (map-side partial — repeated grams combine
+    before the shuffle) → groupBy doc with conditional aggregates. Both
+    aggregations key on doc-prefixed composites, so at 100 TB this is
+    two AQE-sized hash shuffles of count rows, never wider than the
+    gram-occurrence relation; no window, no join on the hot path (one
+    broadcast-sized left join restores token-less docs as NULL rows).
+
+    Determinism: every fraction is a single IEEE division of two exact
+    bigint counts (unrounded — the jaccard precedent), and the verdict
+    compares in INTEGER arithmetic (5*max2 > tot2, 10*dup3 > 3*tot3), so
+    no accumulation-order or float-threshold surface exists.
+    """
+    toks = tokenize(F.col(text_col))
+
+    def tag(n: int):
+        # factory, not a default-arg closure: pyspark dispatches transform
+        # lambdas on ARITY, and `lambda g, n=n` is arity-2 — it would be
+        # called as (element, index) with the array index silently bound
+        # to n (caught by the sf0.01 oracle check)
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    branches = [
+        F.transform(char_ngrams_of_tokens(toks, n), tag(n)) for n in (1, 2, 3)
+    ]
+    exploded = df.select(
+        F.col(id_col), F.explode(F.concat(*branches)).alias("g")
+    ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = exploded.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.max(F.when(F.col("n") == 1, F.col("cnt"))).alias("max1"),
+        F.sum(F.when(F.col("n") == 1, F.col("cnt"))).alias("tot1"),
+        F.max(F.when(F.col("n") == 2, F.col("cnt"))).alias("max2"),
+        F.sum(F.when(F.col("n") == 2, F.col("cnt"))).alias("tot2"),
+        F.sum(
+            F.when((F.col("n") == 3) & (F.col("cnt") > 1), F.col("cnt"))
+        ).alias("dup3"),
+        F.sum(F.when(F.col("n") == 3, F.col("cnt"))).alias("tot3"),
+    )
+    dup3 = F.when(F.col("tot3").isNotNull(), F.coalesce(F.col("dup3"), F.lit(0)))
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("tot1"), F.lit(0)).cast("long").alias("n_words"),
+            (F.col("max1") / F.col("tot1")).alias("top_token_frac"),
+            (F.col("max2") / F.col("tot2")).alias("top_bigram_frac"),
+            (dup3 / F.col("tot3")).alias("dup_trigram_frac"),
+            F.when(
+                F.col("tot2").isNotNull() & F.col("tot3").isNotNull(),
+                (
+                    (F.lit(5) * F.col("max2") > F.col("tot2"))
+                    | (F.lit(10) * dup3 > F.lit(3) * F.col("tot3"))
+                ).cast("long"),
+            ).alias("repetitive"),
+        )
+    )

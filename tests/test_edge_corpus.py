@@ -160,3 +160,47 @@ def test_ivf_and_rp_lsh_skip_zero_norm_queries(spark):
     )
     lsh = sim.rp_lsh_topk(df, q, n_tables=4, n_bits=3, k=3, dim=8).collect()
     assert all(r["sim"] is not None for r in lsh)
+
+
+def test_repetition_signals_edges_and_goldens(edge_docs):
+    """Golden-checks the Gopher-style repetition signals on the edge
+    corpus: NULL rows for token-less docs, NULL n-gram fractions for
+    docs shorter than the gram width, exact fractions and the integer-
+    arithmetic verdict on hand-computable docs."""
+    rows = {
+        r["doc_id"]: r
+        for r in tx.repetition_signals(edge_docs, "doc_id", "text").collect()
+    }
+    assert len(rows) == 8
+    # token-less: every signal NULL, n_words 0
+    for d in (0, 1):
+        assert rows[d]["n_words"] == 0
+        assert rows[d]["top_token_frac"] is None
+        assert rows[d]["repetitive"] is None
+    assert rows[6]["n_words"] == 500
+    # one token: unigram frac defined (1/1), no bigrams/trigrams
+    assert rows[2]["top_token_frac"] == 1.0
+    assert rows[2]["top_bigram_frac"] is None
+    assert rows[2]["dup_trigram_frac"] is None
+    assert rows[2]["repetitive"] is None
+    # two tokens: one bigram, no trigram -> verdict still NULL
+    assert rows[3]["top_bigram_frac"] == 1.0
+    assert rows[3]["repetitive"] is None
+    # exactly three distinct tokens: one trigram, no repeats — but only
+    # 2 bigrams, so top_bigram_frac = 0.5 trivially exceeds the 0.20
+    # threshold: the verdict is only meaningful ABOVE the min-length
+    # filter (P3) a real pipeline composes upstream, and short docs
+    # flag as repetitive by construction
+    assert rows[4]["top_token_frac"] == 1.0 / 3.0
+    assert rows[4]["dup_trigram_frac"] == 0.0
+    assert rows[4]["repetitive"] == 1
+    # "repeated" x5: every gram is the single most frequent one
+    assert rows[7]["top_token_frac"] == 1.0
+    assert rows[7]["top_bigram_frac"] == 1.0
+    assert rows[7]["dup_trigram_frac"] == 1.0
+    assert rows[7]["repetitive"] == 1
+    # 500 tokens cycling tok0..tok6: top token 72/500; every trigram
+    # repeats (7 distinct trigrams over 498 occurrences) -> repetitive
+    assert rows[6]["top_token_frac"] == 72.0 / 500.0
+    assert rows[6]["dup_trigram_frac"] == 1.0
+    assert rows[6]["repetitive"] == 1
