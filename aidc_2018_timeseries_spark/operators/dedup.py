@@ -260,9 +260,27 @@ def ngram_jaccard_candidates(
         sh.withColumn("df", F.count(F.lit(1)).over(wdf))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= prefix_len)
-        .select("doc", "n_sh", "shingle")
+        .select("doc", "n_sh", "rk", "shingle")
     )
 
+    # positional filter (PPJoin, Xiao et al. WWW'08): a match on a prefix
+    # shingle at ranks (i, j) bounds the achievable overlap by
+    # 1 + min(|A|−i, |B|−j), which must reach the Jaccard-equivalent
+    # overlap requirement α = ceil(t/(1+t)·(|A|+|B|)). Lossless in this
+    # EXISTS form: for any true pair the FIRST common shingle in the
+    # canonical order sits inside both prefixes (prefix-filter guarantee)
+    # and every common shingle ranks at or after it on both sides, so the
+    # bound holds there; pairs whose every prefix match fails the bound
+    # cannot reach α. (Same 1e-9 guard against the binary representation
+    # of t as the prefix/size filters.)
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("l.n_sh") + F.col("r.n_sh"))
+        - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("l.n_sh") - F.col("l.rk"), F.col("r.n_sh") - F.col("r.rk")
+    )
     cand = (
         pref.alias("l")
         .join(
@@ -274,7 +292,8 @@ def ngram_jaccard_candidates(
             & (
                 F.least("l.n_sh", "r.n_sh")
                 >= threshold * F.greatest("l.n_sh", "r.n_sh") - F.lit(1e-9)
-            ),
+            )
+            & (ubound >= alpha),
         )
         .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
         .distinct()
