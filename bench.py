@@ -103,6 +103,10 @@ HEADLINE = [
     "dedup_minhash_eval",
     "graph_copurchase_lift",
     "events_ohlc_bars",
+    # added round 6 (subtract when comparing against earlier totals):
+    # the full Gopher repetition filter — cheap by design, in the set so
+    # the explode→partial-agg plan stays on the regression radar
+    "text_repetition_signals",
 ]
 
 
