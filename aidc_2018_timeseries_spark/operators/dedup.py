@@ -827,24 +827,46 @@ def ngram_containment_pairs(
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(eps)) + 1
     ).cast("int")
-    with_df = sh.withColumn("df", F.count(F.lit(1)).over(wdf))
-    pref = (
-        with_df.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= prefix_len)
-        .select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    with_rk = sh.withColumn("df", F.count(F.lit(1)).over(wdf)).withColumn(
+        "rk", F.row_number().over(w)
     )
-    full = with_df
+    pref = with_rk.filter(F.col("rk") <= prefix_len).select(
+        F.col("doc").alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("rk").alias("rk_a"),
+        "shingle",
+    )
+    full = with_rk
     if max_df is not None:
         full = full.filter(F.col("df") <= max_df)
     full = full.select(
-        F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+        F.col("doc").alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("rk").alias("rk_b"),
+        "shingle",
+    )
+    # positional filter, containment-adapted (PPJoin, Xiao et al. WWW'08):
+    # a match at per-doc ranks (i, j) in the SHARED (df, shingle) canonical
+    # order bounds the overlap by 1 + min(|A|−i, |B|−j), which must reach
+    # α = ceil(t·|A|). Lossless in EXISTS form: for a true pair the first
+    # common shingle sits inside A's prefix (else A's whole prefix is
+    # non-common and overlap ≤ ceil(t|A|)−1 < α) and B indexes its full
+    # set, so that match row exists and satisfies the bound. Hot
+    # boilerplate shingles rank LATE on both sides — exactly the matches
+    # this prunes, complementing (not replacing) the lossy max_df valve.
+    # (rk is computed BEFORE the max_df filter, so the bound is unchanged
+    # by the valve.)
+    alpha = F.ceil(F.lit(threshold) * F.col("n_a") - F.lit(eps))
+    ubound = F.lit(1) + F.least(
+        F.col("n_a") - F.col("rk_a"), F.col("n_b") - F.col("rk_b")
     )
     cand = (
         pref.join(
             full,
             (pref["shingle"] == full["shingle"])
             & (pref["id_a"] != full["id_b"])
-            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(eps)),
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(eps))
+            & (ubound >= alpha),
         )
         .select("id_a", "id_b")
         .distinct()
