@@ -76,31 +76,46 @@ def _random_corpus(seed: int) -> dict[int, str]:
 
 
 def test_prefix_filtered_jaccard_is_lossless(spark):
-    for seed in range(6):
-        docs = _random_corpus(seed)
-        df = spark.createDataFrame(
-            list(docs.items()), "doc_id long, text string"
-        )
-        got = {
-            (r["id_a"], r["id_b"])
-            for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8).collect()
-        }
-        assert got == _brute_jaccard(docs, 0.8), f"seed {seed}"
+    """Multiple thresholds: the prefix length, size filter, and the
+    round-6 positional bound all take ceil() of t-scaled sizes, so each
+    t exercises different integer boundaries (0.5 makes prefixes long
+    and the positional α small; 0.8 the production shape)."""
+    for threshold in (0.5, 0.8):
+        for seed in range(6):
+            docs = _random_corpus(seed)
+            df = spark.createDataFrame(
+                list(docs.items()), "doc_id long, text string"
+            )
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in ngram_jaccard_pairs(
+                    df, "doc_id", "text", threshold=threshold
+                ).collect()
+            }
+            assert got == _brute_jaccard(docs, threshold), (
+                f"seed {seed} t={threshold}"
+            )
 
 
 def test_one_sided_filtered_containment_is_lossless(spark):
-    for seed in range(6):
-        docs = _random_corpus(seed)
-        df = spark.createDataFrame(
-            list(docs.items()), "doc_id long, text string"
-        )
-        got = {
-            (r["id_a"], r["id_b"])
-            for r in ngram_containment_pairs(
-                df, "doc_id", "text", threshold=0.9
-            ).collect()
-        }
-        assert got == _brute_containment(docs, 0.9), f"seed {seed}"
+    """Multiple thresholds, same rationale as the jaccard twin — at
+    t=0.7 the A-prefix widens and the positional bound α = ceil(t·|A|)
+    prunes harder, so boundary off-by-ones would surface here first."""
+    for threshold in (0.7, 0.9):
+        for seed in range(6):
+            docs = _random_corpus(seed)
+            df = spark.createDataFrame(
+                list(docs.items()), "doc_id long, text string"
+            )
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in ngram_containment_pairs(
+                    df, "doc_id", "text", threshold=threshold
+                ).collect()
+            }
+            assert got == _brute_containment(docs, threshold), (
+                f"seed {seed} t={threshold}"
+            )
 
 
 def _corpus_with_copies(seed: int) -> dict[int, str]:
