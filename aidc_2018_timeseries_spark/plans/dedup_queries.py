@@ -207,8 +207,27 @@ def _corpus_pipeline_oracle() -> tuple[str, str]:
                     {", ".join(score.values())}
              FROM t0),
     scored AS (SELECT doc_id, toks, {quality} AS quality, {lang_case} AS lang_pred FROM feat),
-    kept AS (SELECT doc_id, toks, quality FROM scored
-             WHERE quality >= {_Q_THRESHOLD} AND lang_pred = 'en'),
+    rg AS (
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM t0
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+      FROM t0),
+    rc AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM rg GROUP BY doc_id, n, gram),
+    rp AS (SELECT doc_id,
+             MAX(CASE WHEN n = 2 THEN cnt END) AS max2,
+             SUM(CASE WHEN n = 2 THEN cnt END) AS tot2,
+             SUM(CASE WHEN n = 3 AND cnt > 1 THEN cnt END) AS dup3,
+             SUM(CASE WHEN n = 3 THEN cnt END) AS tot3
+           FROM rc GROUP BY doc_id),
+    kept AS (SELECT s.doc_id, s.toks, s.quality FROM scored s JOIN rp USING (doc_id)
+             WHERE s.quality >= {_Q_THRESHOLD} AND s.lang_pred = 'en'
+               AND len(s.toks) >= 20
+               AND NOT (5 * rp.max2 > rp.tot2
+                        OR 10 * COALESCE(rp.dup3, 0) > 3 * rp.tot3)),
     {_minhash_pair_ctes(t_src="SELECT doc_id, toks FROM kept")},
     edges AS (SELECT id_a AS u, id_b AS v FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
@@ -239,11 +258,14 @@ def _corpus_pipeline_sql() -> str:
 @register(
     "llm_corpus_pipeline",
     _corpus_pipeline_sql(),
-    doc="the LLM-side flagship: quality filter (Gopher/C4-style score ≥ "
-    "0.3) → language gate (en) → MinHash+LSH near-dup clustering over the "
-    "survivors → one canonical doc per cluster with its cluster size. "
-    "Every stage is the already-verified leaf operator; this face proves "
-    "they COMPOSE — one declarative plan plus the bounded CC rounds.",
+    doc="the LLM-side flagship, Gopher-complete since round 6: quality "
+    "filter (score ≥ 0.3) → language gate (en) → min-length gate (≥ 20 "
+    "tokens, which also makes the repetition verdict well-defined) → "
+    "repetition filter (top-bigram/dup-trigram thresholds in integer "
+    "arithmetic) → MinHash+LSH near-dup clustering over the survivors → "
+    "one canonical doc per cluster with its cluster size. Every stage is "
+    "the already-verified leaf operator; this face proves they COMPOSE — "
+    "one declarative plan plus the bounded CC rounds.",
 )
 def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aidc_2018_timeseries_spark.operators import text as tx
@@ -255,8 +277,18 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tx.quality_score("text"), 6).alias("quality"),
         tx.lang_id("text").alias("lang_pred"),
     )
-    kept = scored.where(
-        (F.col("quality") >= _Q_THRESHOLD) & (F.col("lang_pred") == "en")
+    # Gopher-complete curation gate (round 6): min-length (>= 20 tokens,
+    # which also makes the repetition verdict well-defined and
+    # non-trivial) + the repetition filter, composed with the quality
+    # and language gates. repetition_signals is the verified leaf face.
+    rep = tx.repetition_signals(d, "doc_id", "text").select(
+        "doc_id", "n_words", "repetitive"
+    )
+    kept = scored.join(rep, "doc_id").where(
+        (F.col("quality") >= _Q_THRESHOLD)
+        & (F.col("lang_pred") == "en")
+        & (F.col("n_words") >= 20)
+        & (F.col("repetitive") == 0)
     )
     nodes = kept.where(
         F.size(shingle_hashes(F.col("text"), n=_SHINGLE_N)) > 0
@@ -600,7 +632,8 @@ def _corpus_pipeline_packed_sql() -> str:
     "llm_corpus_pipeline_packed",
     _corpus_pipeline_packed_sql(),
     doc="the END-TO-END training-data preparation chain: the full "
-    "curation pipeline (quality gate -> language gate -> MinHash+LSH "
+    "curation pipeline (quality gate -> language gate -> min-length + "
+    "repetition gates (round 6) -> MinHash+LSH "
     "near-dup clustering -> one canonical doc per cluster) feeding "
     "straight into greedy sequence PACKING of the survivors (~256-token "
     "packs per source shard) with a per-pack rollup — every stage an "
