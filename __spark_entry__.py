@@ -33,6 +33,25 @@ load_all()
 _PRIORITY: list[str] = []
 
 
+def _face_since_round() -> dict[str, int]:
+    """Round each face's current (oracle + source) hash first appeared,
+    from FACEHASH.json (tools/gen_facehash.py — regenerate after editing
+    faces). A verdict OLDER than the face's hash is stale: the driver
+    green predates the current implementation, so the face must re-enter
+    the unverified front (round-6 fix: a changed face with a standing
+    green otherwise sorts into the canary tail and can go many rounds
+    without the driver re-hashing the NEW code). Missing manifest or
+    missing entry → 0 (treat as never-changed, preserving old behavior).
+    """
+    try:
+        manifest = json.loads((_HERE / "FACEHASH.json").read_text())
+    except (OSError, ValueError):
+        return {}
+    return {
+        name: int(row.get("since_round", 0)) for name, row in manifest.items()
+    }
+
+
 def _visit_status() -> dict[str, tuple[bool, int]]:
     """Per catalog query: (latest verdict is OK, round of that verdict).
 
@@ -44,12 +63,15 @@ def _visit_status() -> dict[str, tuple[bool, int]]:
     the first sweep slots forever). Files are merged in PARSED round order
     (int of the digits after "r"), not lexicographic filename order, so
     r100 beats r99 and an unpadded r4 still lands between r03 and r05.
+    A verdict also only counts if it is at least as recent as the face's
+    current implementation hash (see :func:`_face_since_round`).
     """
     runs: list[tuple[int, Path]] = []
     for run in _HERE.glob("CORRECTNESS_r*.json"):
         m = re.search(r"_r(\d+)\.json$", run.name)
         if m:
             runs.append((int(m.group(1)), run))
+    since = _face_since_round()
     status: dict[str, tuple[bool, int]] = {}
     for rnd, run in sorted(runs):
         try:
@@ -66,7 +88,8 @@ def _visit_status() -> dict[str, tuple[bool, int]]:
             rows_only_clean = (
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             )
-            status[name] = (oracle_green or rows_only_clean, rnd)
+            fresh = rnd >= since.get(name, 0)
+            status[name] = ((oracle_green or rows_only_clean) and fresh, rnd)
     return status
 
 

@@ -195,3 +195,60 @@ def test_no_catalog_entry_shares_a_function():
         if c > 1
     ]
     assert not dupes, f"catalog names sharing one function: {dupes}"
+
+
+def test_changed_face_reenters_unverified_front(tmp_path, monkeypatch):
+    """Round-6 fix: a face whose (oracle + source) hash changed AFTER its
+    last green verdict must be treated as unverified — the standing green
+    verified DIFFERENT code. FACEHASH.json records the round each face's
+    current hash first appeared; a verdict older than that is stale."""
+    changed, untouched = sorted(CATALOG)[:2]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({changed: OK, untouched: OK})
+    )
+    (tmp_path / "FACEHASH.json").write_text(
+        json.dumps(
+            {
+                changed: {"hash": "x", "since_round": 2},
+                untouched: {"hash": "y", "since_round": 0},
+            }
+        )
+    )
+    monkeypatch.setattr(entry, "_HERE", tmp_path)
+    order = entry._sweep_order()
+    assert order.index(changed) < order.index(untouched)
+    assert order.index(untouched) == len(order) - 1  # sole fresh green → tail
+    # a later re-verification at/after the hash round makes it fresh again
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({changed: OK}))
+    order = entry._sweep_order()
+    assert order.index(changed) >= len(order) - 2  # back in the tail
+
+
+def test_missing_manifest_preserves_old_behavior(tmp_path, monkeypatch):
+    """No FACEHASH.json → every verdict counts (the pre-round-6 rule)."""
+    green = sorted(CATALOG)[0]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({green: OK}))
+    monkeypatch.setattr(entry, "_HERE", tmp_path)
+    order = entry._sweep_order()
+    assert order.index(green) == len(order) - 1
+
+
+def test_real_manifest_stale_greens_front_the_sweep():
+    """Against the REAL repo files: every face whose current hash
+    postdates its latest verdict must precede every fresh-green face."""
+    since = entry._face_since_round()
+    if not since:
+        return  # no manifest in this checkout
+    status = entry._visit_status()
+    order = entry._sweep_order()
+    fresh = {n for n, (ok, _) in status.items() if ok}
+    if not fresh or fresh == set(CATALOG):
+        return
+    first_fresh = min(i for i, n in enumerate(order) if n in fresh)
+    for name in CATALOG:
+        rnd = status.get(name, (False, -1))[1] if name in status else -1
+        if name in status and since.get(name, 0) > rnd:
+            assert order.index(name) < first_fresh, (
+                f"{name} changed in round {since[name]} after its round-"
+                f"{rnd} verdict but is not in the unverified front"
+            )
