@@ -45,11 +45,15 @@ def _face_since_round() -> dict[str, int]:
     """
     try:
         manifest = json.loads((_HERE / "FACEHASH.json").read_text())
-    except (OSError, ValueError):
+        return {
+            name: int(row.get("since_round", 0))
+            for name, row in manifest.items()
+        }
+    except (OSError, ValueError, TypeError, AttributeError):
+        # unreadable/malformed manifest (non-dict rows, non-int rounds,
+        # top-level list) must DEGRADE to pre-manifest behavior, never
+        # crash the driver's whole sweep (review finding)
         return {}
-    return {
-        name: int(row.get("since_round", 0)) for name, row in manifest.items()
-    }
 
 
 def _visit_status() -> dict[str, tuple[bool, int]]:

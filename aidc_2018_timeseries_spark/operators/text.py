@@ -641,6 +641,45 @@ def bigram_logprob_score(
     )
 
 
+def repetition_ctes_sql(t_src: str) -> str:
+    """DuckDB CTE chain for the repetition aggregates — the ONE source
+    both oracle consumers build on (``text_repetition_signals`` and the
+    ``llm_corpus_pipeline`` curation gate), mirroring the
+    :func:`repetition_signals` Spark operator; change either in one
+    place only (the ``_edit_block_ctes`` convention).
+
+    ``t_src``: SQL producing (doc_id, toks). Emits CTEs ``rg``/``rc``/
+    ``rp`` where ``rp`` is one row per doc with ≥ 1 token:
+    (doc_id, max1, tot1, max2, tot2, dup3, tot3).
+    """
+    return f"""rt AS ({t_src}),
+    rg AS (
+      SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM rt
+      UNION ALL
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM rt
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+      FROM rt),
+    rc AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM rg GROUP BY doc_id, n, gram),
+    rp AS (SELECT doc_id,
+             MAX(CASE WHEN n = 1 THEN cnt END) AS max1,
+             SUM(CASE WHEN n = 1 THEN cnt END) AS tot1,
+             MAX(CASE WHEN n = 2 THEN cnt END) AS max2,
+             SUM(CASE WHEN n = 2 THEN cnt END) AS tot2,
+             SUM(CASE WHEN n = 3 AND cnt > 1 THEN cnt END) AS dup3,
+             SUM(CASE WHEN n = 3 THEN cnt END) AS tot3
+           FROM rc GROUP BY doc_id)"""
+
+
+#: the repetitive-doc verdict over ``rp`` columns, INTEGER arithmetic
+#: (top-bigram > 0.20 OR dup-trigram > 0.30) — shared by both oracles.
+REPETITION_VERDICT_SQL = "(5 * max2 > tot2 OR 10 * COALESCE(dup3, 0) > 3 * tot3)"
+
+
 def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
     adapted to token n-grams: per document, the fraction of mass taken by
@@ -673,8 +712,11 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         # to n (caught by the sf0.01 oracle check)
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
 
-    branches = [
-        F.transform(char_ngrams_of_tokens(toks, n), tag(n)) for n in (1, 2, 3)
+    # n=1 grams ARE the token array — tagging it directly skips the
+    # per-element sequence+slice+concat_ws round trip on the explode's
+    # hot path (review finding; grams are byte-identical either way)
+    branches = [F.transform(toks, tag(1))] + [
+        F.transform(char_ngrams_of_tokens(toks, n), tag(n)) for n in (2, 3)
     ]
     exploded = df.select(
         F.col(id_col), F.explode(F.concat(*branches)).alias("g")

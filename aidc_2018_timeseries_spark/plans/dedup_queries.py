@@ -17,6 +17,12 @@ from aidc_2018_timeseries_spark.operators.similarity import (
     hyperplane_rows,
 )
 from aidc_2018_timeseries_spark.operators.graph import connected_components
+from aidc_2018_timeseries_spark.operators.text import (
+    REPETITION_VERDICT_SQL as _REPETITION_VERDICT_SQL,
+)
+from aidc_2018_timeseries_spark.operators.text import (
+    repetition_ctes_sql as _repetition_ctes_sql,
+)
 from aidc_2018_timeseries_spark.operators.text import shingle_hashes, tokenize_sql
 from aidc_2018_timeseries_spark.plans.catalog import register
 from aidc_2018_timeseries_spark.sources.tables import load_table
@@ -207,27 +213,11 @@ def _corpus_pipeline_oracle() -> tuple[str, str]:
                     {", ".join(score.values())}
              FROM t0),
     scored AS (SELECT doc_id, toks, {quality} AS quality, {lang_case} AS lang_pred FROM feat),
-    rg AS (
-      SELECT doc_id, 2 AS n,
-             unnest(list_transform(generate_series(1, len(toks) - 1),
-                    i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM t0
-      UNION ALL
-      SELECT doc_id, 3 AS n,
-             unnest(list_transform(generate_series(1, len(toks) - 2),
-                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
-      FROM t0),
-    rc AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM rg GROUP BY doc_id, n, gram),
-    rp AS (SELECT doc_id,
-             MAX(CASE WHEN n = 2 THEN cnt END) AS max2,
-             SUM(CASE WHEN n = 2 THEN cnt END) AS tot2,
-             SUM(CASE WHEN n = 3 AND cnt > 1 THEN cnt END) AS dup3,
-             SUM(CASE WHEN n = 3 THEN cnt END) AS tot3
-           FROM rc GROUP BY doc_id),
-    kept AS (SELECT s.doc_id, s.toks, s.quality FROM scored s JOIN rp USING (doc_id)
-             WHERE s.quality >= {_Q_THRESHOLD} AND s.lang_pred = 'en'
-               AND len(s.toks) >= 20
-               AND NOT (5 * rp.max2 > rp.tot2
-                        OR 10 * COALESCE(rp.dup3, 0) > 3 * rp.tot3)),
+    pre AS (SELECT doc_id, toks, quality FROM scored
+            WHERE quality >= {_Q_THRESHOLD} AND lang_pred = 'en'),
+    {_repetition_ctes_sql("SELECT doc_id, toks FROM pre")},
+    kept AS (SELECT p.doc_id, p.toks, p.quality FROM pre p JOIN rp USING (doc_id)
+             WHERE len(p.toks) >= 20 AND NOT {_REPETITION_VERDICT_SQL}),
     {_minhash_pair_ctes(t_src="SELECT doc_id, toks FROM kept")},
     edges AS (SELECT id_a AS u, id_b AS v FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
@@ -280,15 +270,19 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-complete curation gate (round 6): min-length (>= 20 tokens,
     # which also makes the repetition verdict well-defined and
     # non-trivial) + the repetition filter, composed with the quality
-    # and language gates. repetition_signals is the verified leaf face.
-    rep = tx.repetition_signals(d, "doc_id", "text").select(
-        "doc_id", "n_words", "repetitive"
+    # and language gates. repetition_signals is the verified leaf face,
+    # computed over the cheap gates' SURVIVORS only (semi-join) — the
+    # gram explode is the dominant cost and the conjunctive filter makes
+    # the result identical either way (review finding; Catalyst cannot
+    # push the scored-side predicates beneath the rep aggregation).
+    pre = scored.where(
+        (F.col("quality") >= _Q_THRESHOLD) & (F.col("lang_pred") == "en")
     )
-    kept = scored.join(rep, "doc_id").where(
-        (F.col("quality") >= _Q_THRESHOLD)
-        & (F.col("lang_pred") == "en")
-        & (F.col("n_words") >= 20)
-        & (F.col("repetitive") == 0)
+    rep = tx.repetition_signals(
+        d.join(pre.select("doc_id"), "doc_id", "semi"), "doc_id", "text"
+    ).select("doc_id", "n_words", "repetitive")
+    kept = pre.join(rep, "doc_id").where(
+        (F.col("n_words") >= 20) & (F.col("repetitive") == 0)
     )
     nodes = kept.where(
         F.size(shingle_hashes(F.col("text"), n=_SHINGLE_N)) > 0

@@ -944,27 +944,7 @@ def llm_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_repetition_signals",
     f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    g AS (
-      SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM t
-      UNION ALL
-      SELECT doc_id, 2 AS n,
-             unnest(list_transform(generate_series(1, len(toks) - 1),
-                    i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM t
-      UNION ALL
-      SELECT doc_id, 3 AS n,
-             unnest(list_transform(generate_series(1, len(toks) - 2),
-                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
-      FROM t),
-    c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, n, gram),
-    p AS (SELECT doc_id,
-            MAX(CASE WHEN n = 1 THEN cnt END) AS max1,
-            SUM(CASE WHEN n = 1 THEN cnt END) AS tot1,
-            MAX(CASE WHEN n = 2 THEN cnt END) AS max2,
-            SUM(CASE WHEN n = 2 THEN cnt END) AS tot2,
-            SUM(CASE WHEN n = 3 AND cnt > 1 THEN cnt END) AS dup3,
-            SUM(CASE WHEN n = 3 THEN cnt END) AS tot3
-          FROM c GROUP BY doc_id)
+    WITH {tx.repetition_ctes_sql(f"SELECT doc_id, {_TOKS} AS toks FROM documents")}
     SELECT d.doc_id,
            CAST(COALESCE(tot1, 0) AS BIGINT) AS n_words,
            CAST(max1 AS DOUBLE) / tot1 AS top_token_frac,
@@ -972,9 +952,9 @@ def llm_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN tot3 IS NOT NULL THEN COALESCE(dup3, 0) END AS DOUBLE)
              / tot3 AS dup_trigram_frac,
            CASE WHEN tot2 IS NOT NULL AND tot3 IS NOT NULL THEN
-             CAST((5 * max2 > tot2 OR 10 * COALESCE(dup3, 0) > 3 * tot3) AS BIGINT)
+             CAST({tx.REPETITION_VERDICT_SQL} AS BIGINT)
            END AS repetitive
-    FROM documents d LEFT JOIN p USING (doc_id)
+    FROM documents d LEFT JOIN rp USING (doc_id)
     """,
     doc="Gopher-style repetition quality signals (Rae et al. 2021 A1.1) "
     "at token n-gram level: top-token / top-bigram mass fraction, "

@@ -252,3 +252,30 @@ def test_real_manifest_stale_greens_front_the_sweep():
                 f"{name} changed in round {since[name]} after its round-"
                 f"{rnd} verdict but is not in the unverified front"
             )
+
+
+def test_facehash_manifest_is_in_sync_with_face_sources():
+    """Forgetting `python tools/gen_facehash.py` after editing a face
+    would silently revert that face to the pre-round-6 stale-green
+    behavior — this makes the drift a test failure instead. (--bump
+    entries are fine: bumping rewrites the hash too.)"""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(entry.__file__).parent / "tools"))
+    from gen_facehash import MANIFEST, face_hash
+
+    assert MANIFEST.exists(), "FACEHASH.json missing — run tools/gen_facehash.py"
+    manifest = json.loads(MANIFEST.read_text())
+    assert set(manifest) == set(CATALOG), (
+        "FACEHASH.json face set drifted from the catalog — run tools/gen_facehash.py"
+    )
+    stale = [
+        name
+        for name, ent in CATALOG.items()
+        if manifest[name].get("hash") != face_hash(ent)
+    ]
+    assert not stale, (
+        f"faces edited without regenerating FACEHASH.json: {stale} — "
+        "run tools/gen_facehash.py (add --bump for operator-level changes)"
+    )
