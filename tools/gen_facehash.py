@@ -12,22 +12,26 @@ the face function's source) and the round that hash FIRST appeared;
 if its round is >= the hash's round — a changed face re-enters the
 unverified front automatically.
 
-Scope note: the hash covers the FACE (registration SQL + plan function
-source), not the operator modules it calls — operator-level edits are
-instead covered by the pytest suite and the strict local sweep
-(tools/driver_sweep.py), which this manifest complements rather than
-replaces.
+Scope: the hash is TRANSITIVE — oracle SQL + the plan function's source
++ (recursively) every package-local function/class it references,
+resolved through module globals and the function's own local imports —
+so an operator edit two call levels below a face (the round-6
+positional filter inside ngram_jaccard_candidates, under
+dedup_ngram_jaccard) changes the face's hash with no manual step.
+Name-token resolution can over-match (a name in a comment), which only
+adds hash sensitivity; it cannot miss a referenced package function.
 
-Run at the end of any session that edits faces:
-    python tools/gen_facehash.py [--bump name ...]
+Run at the end of any session that edits faces or operators:
+    python tools/gen_facehash.py [--bump name ...] [--migrate]
 Unchanged faces keep their recorded since_round; changed/new faces get
 the CURRENT round (max CORRECTNESS_r* + 1 — i.e. the round whose
 verdict file does not exist yet). ``--bump`` force-stamps the named
-faces with the current round even when their own hash is unchanged —
-use it when an OPERATOR a face calls changed (the hash does not cover
-operator modules, so e.g. the round-6 positional-filter edit to
-ngram_jaccard_candidates needed `--bump dedup_ngram_jaccard
-dedup_minhash_eval` to drive re-verification of the faces riding it).
+faces with the current round even when their hash is unchanged (escape
+hatch for dependencies the resolver cannot see, e.g. data-file or conf
+changes). ``--migrate`` recomputes every hash under a CHANGED HASH
+ALGORITHM while PRESERVING each face's recorded since_round — without
+it, an algorithm change would mark all ~196 faces as edited and
+invalidate every standing verdict at once.
 
 Safety: if the manifest is missing or empty, faces are recorded with
 since_round 0 (treat as never-changed) rather than the current round —
@@ -40,10 +44,13 @@ seeded it); after a lost manifest, prefer re-seeding that way or
 
 from __future__ import annotations
 
+import ast
 import hashlib
+import importlib
 import inspect
 import json
 import re
+import textwrap
 import sys
 from pathlib import Path
 
@@ -55,9 +62,77 @@ from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all  # noqa: 
 MANIFEST = HERE / "FACEHASH.json"
 
 
+_PKG = "aidc_2018_timeseries_spark"
+
+
+def _transitive_sources(fn, seen: set | None = None) -> list[str]:
+    """Source of ``fn`` plus (recursively) every package-local function
+    or class its source references by name — so an edit to an operator a
+    face calls (e.g. the round-6 positional filter inside
+    ngram_jaccard_candidates, two call levels below the
+    dedup_ngram_jaccard face) changes the face's hash without --bump.
+
+    Resolution is name-token lookup in each function's __globals__
+    (module attrs like ``dd.minhash_candidate_pairs`` resolve via the
+    module object); over-matching a name in a comment only adds hash
+    sensitivity, never misses a change. Non-package callables (pyspark,
+    stdlib) are skipped.
+    """
+    if seen is None:
+        seen = set()
+    key = getattr(fn, "__module__", ""), getattr(fn, "__qualname__", repr(fn))
+    if key in seen:
+        return []
+    seen.add(key)
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return []
+    out = [src]
+    # resolution namespace = module globals + the function's own LOCAL
+    # imports (faces routinely do `from ...operators import text as tx`
+    # inside the body, which __globals__ cannot see)
+    ns = dict(getattr(fn, "__globals__", {}))
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name.startswith(_PKG):
+                        ns[a.asname or a.name.split(".")[0]] = (
+                            importlib.import_module(a.name)
+                        )
+            elif (
+                isinstance(node, ast.ImportFrom)
+                and node.module
+                and node.module.startswith(_PKG)
+            ):
+                m = importlib.import_module(node.module)
+                for a in node.names:
+                    ns[a.asname or a.name] = getattr(m, a.name, None)
+    except (SyntaxError, ImportError):
+        pass
+    refs = []
+    for mod_name, attr in set(re.findall(r"\b(\w+)\.(\w+)\b", src)):
+        mod = ns.get(mod_name)
+        if mod is not None and getattr(mod, "__name__", "").startswith(_PKG):
+            refs.append(getattr(mod, attr, None))
+    for name in set(re.findall(r"\b(\w+)\b", src)):
+        refs.append(ns.get(name))
+    for obj in refs:
+        if (
+            (inspect.isfunction(obj) or inspect.isclass(obj))
+            and getattr(obj, "__module__", "").startswith(_PKG)
+        ):
+            out.extend(_transitive_sources(obj, seen))
+    return out
+
+
 def face_hash(entry) -> str:
-    src = inspect.getsource(entry.spark_fn)
-    return hashlib.md5(((entry.oracle or "") + "\n" + src).encode()).hexdigest()
+    sources = sorted(_transitive_sources(entry.spark_fn))
+    return hashlib.md5(
+        ((entry.oracle or "") + "\n" + "\n".join(sources)).encode()
+    ).hexdigest()
 
 
 def current_round() -> int:
@@ -88,6 +163,7 @@ def main() -> None:
         except ValueError:
             pass
     bootstrap = not old  # lost/empty manifest → conservative since_round 0
+    migrate = "--migrate" in sys.argv
     rnd = current_round()
     out: dict[str, dict] = {}
     changed = new = kept = bumped = 0
@@ -99,6 +175,12 @@ def main() -> None:
             bumped += 1
         elif prev and prev.get("hash") == h:
             out[name] = prev
+            kept += 1
+        elif prev and migrate:
+            # hash-algorithm change: refresh the hash, keep the history
+            out[name] = {
+                "hash": h, "since_round": int(prev.get("since_round", 0))
+            }
             kept += 1
         elif prev:
             out[name] = {"hash": h, "since_round": rnd}
