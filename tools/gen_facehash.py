@@ -128,7 +128,35 @@ def _transitive_sources(fn, seen: set | None = None) -> list[str]:
     return out
 
 
+_imported_all = False
+
+
+def _import_all_package_modules() -> None:
+    """Import every module under the package once, so name resolution in
+    :func:`_transitive_sources` is DETERMINISTIC. Without this, a token
+    like ``scd.scd2_compact`` resolves only if some earlier code already
+    imported ``operators.scd`` (importing a submodule sets it as an
+    attribute on its parent package) — faces use deferred local imports,
+    so the reachable closure would depend on process import history
+    (caught: the manifest-sync test passed standalone but failed under
+    the full suite, where earlier tests had imported more modules).
+    """
+    global _imported_all
+    if _imported_all:
+        return
+    import pkgutil
+
+    pkg = importlib.import_module(_PKG)
+    for info in pkgutil.walk_packages(pkg.__path__, prefix=_PKG + "."):
+        try:
+            importlib.import_module(info.name)
+        except ImportError:
+            pass  # guarded optional deps (scipy/PIL shims) stay skippable
+    _imported_all = True
+
+
 def face_hash(entry) -> str:
+    _import_all_package_modules()
     sources = sorted(_transitive_sources(entry.spark_fn))
     return hashlib.md5(
         ((entry.oracle or "") + "\n" + "\n".join(sources)).encode()
