@@ -147,3 +147,23 @@ def test_ohlc_windows_share_one_exchange(spark):
     plan = _formatted_plan(CATALOG["events_ohlc_bars"].spark_fn(spark, SF_DIR))
     n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 2, plan  # scan->window shuffle + final agg shuffle
+
+
+def test_repetition_signals_two_aggregates_no_window(spark):
+    """text_repetition_signals must plan as explode → two hash aggregates
+    (each with a map-side partial, so four HashAggregate nodes around two
+    Exchanges for the agg chain + one broadcast-side restore join) and NO
+    Window node — a window over (doc, gram) would sort the whole gram
+    relation instead of partially aggregating it."""
+    import re as _re
+
+    plan = _formatted_plan(
+        CATALOG["text_repetition_signals"].spark_fn(spark, SF_DIR)
+    )
+    assert "Window" not in plan, "gram counting must not use a window"
+    assert "Generate" in plan  # the single explode
+    n_aggs = len(_re.findall(r"\(\d+\) HashAggregate", plan))
+    assert n_aggs >= 4, f"expected partial+final for both aggs, got {n_aggs}"
+    # the doc-restore join broadcasts (per-doc aggregates are small
+    # relative to the corpus side at any scale); no sort-merge join
+    assert "SortMergeJoin" not in plan
