@@ -64,6 +64,42 @@ def relu(x: np.ndarray) -> np.ndarray:
     return np.maximum(x, 0.0)
 
 
+def spatial_dropout_mask(
+    n_channels: int, keep: float, seed: int, block_idx: int, layer_idx: int
+) -> np.ndarray:
+    """Per-CHANNEL Bernoulli(keep) mask — SURVEY §2 M2 (Dropout2D at
+    reference ``custom_neon_classes.py:20-33``): spatial dropout zeroes a
+    feature map across ALL timepoints, not individual activations.
+    Deterministic from (seed, block, layer) via a SeedSequence, so a
+    distributed training step applies the identical mask on every
+    partition with no mask broadcast."""
+    rng = np.random.default_rng(
+        np.random.SeedSequence([seed, block_idx, layer_idx])
+    )
+    return (rng.random(n_channels) < keep).astype(float)
+
+
+def apply_spatial_dropout(
+    h: np.ndarray,
+    keep: float,
+    training: bool,
+    seed: int = 0,
+    block_idx: int = 0,
+    layer_idx: int = 0,
+) -> np.ndarray:
+    """Reference (non-inverted) dropout semantics
+    (``custom_neon_classes.py:28-33``): TRAINING multiplies by the binary
+    channel mask at full value; INFERENCE multiplies by the keep
+    probability — the deterministic expectation, which is why the
+    long-standing inference fold (keep=1.0 default → identity) was exact
+    rather than an approximation. h: (T, C)."""
+    if keep >= 1.0:
+        return h
+    if training:
+        return h * spatial_dropout_mask(h.shape[1], keep, seed, block_idx, layer_idx)
+    return h * keep
+
+
 @dataclass
 class TCNWeights:
     """Deterministic TCN parameters: levels residual blocks, dilation 2^i,
@@ -92,13 +128,29 @@ class TCNWeights:
         self.readout = (rng.normal(0, 0.1, size=(self.n_hidden, 1)), rng.normal(0, 0.1, size=1))
 
 
-def tcn_forward(x: np.ndarray, weights: TCNWeights) -> float:
-    """Forward pass for one (T, F) window → scalar prediction."""
+def tcn_forward(
+    x: np.ndarray,
+    weights: TCNWeights,
+    *,
+    keep: float = 1.0,
+    training: bool = False,
+    dropout_seed: int = 0,
+) -> float:
+    """Forward pass for one (T, F) window → scalar prediction.
+
+    ``keep``/``training``/``dropout_seed`` wire M2 spatial dropout after
+    each conv+relu, matching the reference block layout
+    (``temporal_convolutional_network.py:7-30``: conv → relu → dropout,
+    twice per temporal block). Defaults preserve the inference identity
+    (keep=1.0) the catalog faces were verified under.
+    """
     h = x
     for i, (v1, g1, b1, v2, g2, b2, side) in enumerate(weights.blocks):
         dilation = 2**i  # temporal_convolutional_network.py:51-65
         main = relu(causal_dilated_conv(h, weight_normalized(v1, g1), b1, dilation))
+        main = apply_spatial_dropout(main, keep, training, dropout_seed, i, 0)
         main = relu(causal_dilated_conv(main, weight_normalized(v2, g2), b2, dilation))
+        main = apply_spatial_dropout(main, keep, training, dropout_seed, i, 1)
         res = h if side is None else causal_dilated_conv(h, side, np.zeros(side.shape[2]), 1)
         h = relu(main + res)
     w, b = weights.readout
