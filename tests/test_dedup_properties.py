@@ -238,21 +238,25 @@ def test_collapsed_minhash_pairs_equal_direct(spark):
         minhash_candidate_pairs_collapsed,
     )
 
-    for seed in range(4):
+    for seed, num_bands in ((0, 4), (1, 4), (2, 2), (3, 8)):
+        # band widths 4/8/2 exercise the rows_per_band slicing at its
+        # extremes (2 bands of 8 rows .. 8 bands of 2 rows)
         docs = _corpus_with_copies(seed)
         df = spark.createDataFrame(
             list(docs.items()), "doc_id long, text string"
         )
         direct = {
             (r["id_a"], r["id_b"])
-            for r in minhash_candidate_pairs(df, "doc_id", "text").collect()
+            for r in minhash_candidate_pairs(
+                df, "doc_id", "text", num_bands=num_bands
+            ).collect()
         }
         collapsed_rows = minhash_candidate_pairs_collapsed(
-            df, "doc_id", "text"
+            df, "doc_id", "text", num_bands=num_bands
         ).collect()
         collapsed = {(r["id_a"], r["id_b"]) for r in collapsed_rows}
         assert len(collapsed_rows) == len(collapsed), f"seed {seed}: dup rows"
-        assert collapsed == direct, f"seed {seed}"
+        assert collapsed == direct, f"seed {seed} bands={num_bands}"
 
 
 def test_collapsed_minhash_components_equal_direct(spark):
