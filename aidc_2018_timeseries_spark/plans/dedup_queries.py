@@ -275,14 +275,24 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram explode is the dominant cost and the conjunctive filter makes
     # the result identical either way (review finding; Catalyst cannot
     # push the scored-side predicates beneath the rep aggregation).
+    # Materialize the gate survivors ONCE (localCheckpoint — the CC
+    # loop's own precedent): `pre` sits on both sides of the repetition
+    # join and `kept` feeds four consumers (nodes, pairs, the quality
+    # join-back, the singleton anti-join) plus the CC re-evaluation, so
+    # without materialization the quality/lang expression stage re-runs
+    # ~3× and the whole curation chain ~5× (measured 9.2s of the face's
+    # 37.6s at sf0.1 was re-evaluated scalar scoring). A real 100 TB
+    # pipeline materializes its curated corpus at exactly this point.
     pre = scored.where(
         (F.col("quality") >= _Q_THRESHOLD) & (F.col("lang_pred") == "en")
-    )
+    ).localCheckpoint(eager=False)
     rep = tx.repetition_signals(
-        d.join(pre.select("doc_id"), "doc_id", "semi"), "doc_id", "text"
+        pre.select("doc_id", "text"), "doc_id", "text"
     ).select("doc_id", "n_words", "repetitive")
-    kept = pre.join(rep, "doc_id").where(
-        (F.col("n_words") >= 20) & (F.col("repetitive") == 0)
+    kept = (
+        pre.join(rep, "doc_id")
+        .where((F.col("n_words") >= 20) & (F.col("repetitive") == 0))
+        .localCheckpoint(eager=False)
     )
     nodes = kept.where(
         F.size(shingle_hashes(F.col("text"), n=_SHINGLE_N)) > 0
