@@ -64,7 +64,14 @@ def with_copies(d, k: int):
                 "lang",
             )
         )
-    return out.repartition(32, "doc_id").persist()
+    # repartition only when the union is UNDER-parallel (a K-way union of
+    # a one-partition parquet scan yields K partitions; K < cores starves
+    # the hot projections). When the union already exceeds core count,
+    # keep the natural partitioning — forcing 32 measured 382s vs 213s on
+    # the 100x containment run (coarser partitions → straggler skew).
+    if out.rdd.getNumPartitions() < 32:
+        out = out.repartition(32, "doc_id")
+    return out.persist()
 
 
 def with_vocab_variants(d, v: int, copies: int = 10):
