@@ -568,6 +568,50 @@ def exact_collapse(
     return mapping, reps
 
 
+#: default redundancy fraction above which the collapsed operators engage
+#: the exact-dup pre-collapse. The collapse pays a roughly FIXED overhead
+#: (content-hash window + semi-join + expansion joins, ~0.8s per face at
+#: sf0.1) and wins QUADRATICALLY in copy-group size — so a corpus that is
+#: barely duplicated (sf0.1 documents: 16 of 5000 rows in dup groups,
+#: 0.3%) loses by collapsing, while the round-5 worst case (every doc
+#: copied 10×, 90% redundancy) wins 3.3×. 2% is comfortably between the
+#: two regimes; both paths are exact, so the gate is a pure compute knob.
+COLLAPSE_REDUNDANCY_THRESHOLD = 0.02
+
+
+def exact_dup_redundancy(
+    df: DataFrame, text_col: str, key_cols: list[str] | None = None
+) -> float:
+    """Skip-gate statistic for the exact-dup pre-collapse (round-6 verdict
+    item 2): the fraction of rows that are redundant exact copies,
+    (n − distinct (content hash, key_cols)) / n — 0.0 on a clean corpus,
+    → 1.0 as copy groups dominate. ONE scan + a map-side-combined
+    count/distinct-count; the ``.first()`` is bounded scalar bookkeeping
+    (one row), the same class as knn_ivf's corpus count.
+
+    Keys are packed into a struct so NULL-able ``key_cols`` (e.g. lang)
+    count as distinct values rather than being dropped by countDistinct's
+    multi-column NULL rule — matching exact_collapse's window, which
+    groups NULLs together.
+    """
+    keys = [content_hash(text_col).alias("_chash")] + [
+        F.col(c) for c in (key_cols or [])
+    ]
+    row = (
+        df.select(F.struct(*keys).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("_k").alias("d"))
+        .first()
+    )
+    return 0.0 if row["n"] == 0 else (row["n"] - row["d"]) / row["n"]
+
+
+def corpus_has_exact_dups(
+    df: DataFrame, text_col: str, key_cols: list[str] | None = None
+) -> bool:
+    """True iff ≥ 2 docs share (normalized content hash, ``key_cols``)."""
+    return exact_dup_redundancy(df, text_col, key_cols) > 0.0
+
+
 def ngram_containment_pairs_collapsed(
     df: DataFrame,
     id_col: str,
@@ -575,6 +619,7 @@ def ngram_containment_pairs_collapsed(
     shingle_n: int = 3,
     threshold: float = 0.9,
     max_df: int | None = None,
+    collapse_threshold: float = COLLAPSE_REDUNDANCY_THRESHOLD,
 ) -> DataFrame:
     """:func:`ngram_containment_pairs` with :func:`exact_collapse` in
     front — identical output, but the posting join and exact verification
@@ -603,8 +648,23 @@ def ngram_containment_pairs_collapsed(
     rep-counted df is arguably the BETTER boilerplate signal (copy count
     no longer inflates a shingle's df), but it is a different valve than
     the direct operator's raw-df cap, so the two forms may keep/drop
-    different boilerplate-only pairs.
+    different boilerplate-only pairs. The divergence also reaches INTRA
+    pairs (ADVICE r6): collapse always emits identical-copy pairs at
+    containment 1.0, whereas the direct operator with ``max_df`` drops
+    even those when EVERY shingle of the doc exceeds the cap (a doc made
+    entirely of boilerplate has no posting rows left to join on).
+
+    Skip-gate: when :func:`exact_dup_redundancy` says the corpus is
+    (nearly) exact-clean — redundant-copy fraction ≤ ``collapse_threshold``
+    — the mapping/expansion joins would collapse (almost) nothing — run
+    the direct operator outright (round-6 verdict: the collapse pre-pass
+    cost ~0.8s at sf0.1 to collapse 8 pairs). Both paths are exact; the
+    gate is purely a compute knob.
     """
+    if exact_dup_redundancy(df, text_col) <= collapse_threshold:
+        return ngram_containment_pairs(
+            df, id_col, text_col, shingle_n, threshold, max_df
+        )
     mapping, reps = exact_collapse(df, id_col, text_col)
     rep_pairs = ngram_containment_pairs(
         reps, id_col, text_col, shingle_n, threshold, max_df
@@ -656,6 +716,7 @@ def minhash_candidate_pairs_collapsed(
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_n: int = 3,
+    collapse_threshold: float = COLLAPSE_REDUNDANCY_THRESHOLD,
 ) -> DataFrame:
     """:func:`minhash_candidate_pairs` with :func:`exact_collapse` in
     front — identical (id_a < id_b) pair relation, but signatures, band
@@ -681,7 +742,16 @@ def minhash_candidate_pairs_collapsed(
     + signature aggregation — the dominant cost — touch unique content
     only, and the copy-quadratic appears solely in the expanded OUTPUT,
     which must be written either way.
+
+    Skip-gate: a (nearly) exact-clean corpus — redundancy ≤
+    ``collapse_threshold`` — runs the direct operator; the collapse would
+    map (almost) every doc to itself and the expansion joins would be
+    pure overhead.
     """
+    if exact_dup_redundancy(df, text_col) <= collapse_threshold:
+        return minhash_candidate_pairs(
+            df, id_col, text_col, num_hashes, num_bands, shingle_n
+        )
     mapping, reps = exact_collapse(df, id_col, text_col)
     rep_pairs = minhash_candidate_pairs(
         reps, id_col, text_col, num_hashes, num_bands, shingle_n
@@ -728,6 +798,7 @@ def minhash_components_collapsed(
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_n: int = 3,
+    collapse_threshold: float = COLLAPSE_REDUNDANCY_THRESHOLD,
 ) -> DataFrame:
     """Connected components over the MinHash candidate graph, with
     :func:`exact_collapse` in front — (node, label) over the SHINGLED
@@ -756,9 +827,24 @@ def minhash_components_collapsed(
     (keep-best-quality canonicalization): the CC iteration — the
     heaviest stage — runs on the unique-content graph, and copies rejoin
     via |members| star edges rather than Σ C(k,2) clique edges.
+
+    Skip-gate: on a (nearly) exact-clean corpus — redundancy ≤
+    ``collapse_threshold`` — the star relation is (almost) empty and
+    reps ≈ df, so the direct form (CC over the shingled docs with the
+    direct candidate pairs) is computed outright.
     """
     from aidc_2018_timeseries_spark.operators.graph import connected_components
 
+    if exact_dup_redundancy(df, text_col) <= collapse_threshold:
+        pairs = minhash_candidate_pairs(
+            df, id_col, text_col, num_hashes, num_bands, shingle_n
+        )
+        nodes = df.filter(
+            F.size(shingle_hashes(F.col(text_col), n=shingle_n)) > 0
+        ).select(id_col)
+        return connected_components(
+            nodes, pairs, id_col=id_col, src_col="id_a", dst_col="id_b"
+        )
     mapping, reps = exact_collapse(df, id_col, text_col)
     rep_pairs = minhash_candidate_pairs(
         reps, id_col, text_col, num_hashes, num_bands, shingle_n

@@ -166,47 +166,69 @@ def sessionize_bucketed(
 
     Output: input columns + ``session_id`` (long, 0-based per key, same
     numbering as the plain form).
+
+    Helper columns use a ``_sb_``-prefixed namespace and collide-check
+    against the input (a caller column literally named ``_sb_off`` would
+    otherwise be silently overwritten then dropped — ADVICE r6). Bucketing
+    is an exact integer FLOOR division (``us - pmod(us, b)) div b``), so
+    negative timestamps get true floor buckets instead of the
+    truncate-toward-zero double-width bucket 0 (equality held either way —
+    truncation is still monotone — but the partition-size bound did not).
     """
-    b = (F.col(us_col) / F.lit(bucket_us)).cast("long")
-    w_in = Window.partitionBy(key, "_b").orderBy(us_col, id_col)
+    tmp = ("_sb_b", "_sb_flag", "_sb_cum", "_sb_ff", "_sb_off")
+    clash = [c for c in df.columns if c in tmp]
+    if clash:
+        raise ValueError(
+            f"sessionize_bucketed: input columns {clash} collide with "
+            f"internal helper names {tmp}"
+        )
+    # exact long floor-div: us - pmod(us, b) is the largest multiple of b
+    # <= us (pmod is non-negative), and the remaining `div` is exact — no
+    # double rounding at any magnitude, floor (not truncation) below zero
+    b = F.expr(
+        f"(`{us_col}` - pmod(`{us_col}`, {int(bucket_us)})) div {int(bucket_us)}"
+    )
+    w_in = Window.partitionBy(key, "_sb_b").orderBy(us_col, id_col)
     w_cum = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = (
-        df.withColumn("_b", b)
+        df.withColumn("_sb_b", b)
         .withColumn(
-            "_flag",
+            "_sb_flag",
             F.when(
                 F.col(us_col) - F.lag(us_col).over(w_in) > gap_us, F.lit(1)
             ).otherwise(F.lit(0)),
         )
-        .withColumn("_local_cum", F.sum("_flag").over(w_cum))
+        .withColumn("_sb_cum", F.sum("_sb_flag").over(w_cum))
     )
-    summary = flagged.groupBy(key, "_b").agg(
-        F.min(us_col).alias("_first_us"),
-        F.max(us_col).alias("_last_us"),
-        F.sum("_flag").alias("_flags"),
+    summary = flagged.groupBy(key, "_sb_b").agg(
+        F.min(us_col).alias("_sb_first_us"),
+        F.max(us_col).alias("_sb_last_us"),
+        F.sum("_sb_flag").alias("_sb_flags"),
     )
-    w_b = Window.partitionBy(key).orderBy("_b")
+    w_b = Window.partitionBy(key).orderBy("_sb_b")
     w_boff = w_b.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     first_flag = F.when(
-        F.lag("_last_us").over(w_b).isNull(), F.lit(0)
+        F.lag("_sb_last_us").over(w_b).isNull(), F.lit(0)
     ).otherwise(
-        (F.col("_first_us") - F.lag("_last_us").over(w_b) > gap_us).cast("int")
+        (F.col("_sb_first_us") - F.lag("_sb_last_us").over(w_b) > gap_us).cast(
+            "int"
+        )
     )
-    stitched = summary.withColumn("_ff", first_flag).withColumn(
-        "_off",
-        F.sum(F.col("_flags") + F.col("_ff")).over(w_boff)
-        - (F.col("_flags") + F.col("_ff")),
+    stitched = summary.withColumn("_sb_ff", first_flag).withColumn(
+        "_sb_off",
+        F.sum(F.col("_sb_flags") + F.col("_sb_ff")).over(w_boff)
+        - (F.col("_sb_flags") + F.col("_sb_ff")),
     )
     # plain equi-join, NOT broadcast: the offsets relation is (key, bucket)
     # -cardinality (≈ one row per user at 100 TB — a user-dim-sized
     # relation), and the big side already carries the (key, bucket)
     # partitioning from its window, so this join adds no big-side shuffle
-    offsets = stitched.select(key, "_b", "_ff", "_off")
+    offsets = stitched.select(key, "_sb_b", "_sb_ff", "_sb_off")
     return (
-        flagged.join(offsets, [key, "_b"])
+        flagged.join(offsets, [key, "_sb_b"])
         .withColumn(
             "session_id",
-            (F.col("_off") + F.col("_ff") + F.col("_local_cum")).cast("long"),
+            (F.col("_sb_off") + F.col("_sb_ff") + F.col("_sb_cum")).cast("long"),
         )
-        .drop("_b", "_flag", "_local_cum", "_ff", "_off")
+        .drop("_sb_b", "_sb_flag", "_sb_cum", "_sb_ff", "_sb_off")
     )

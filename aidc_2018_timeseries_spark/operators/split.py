@@ -322,7 +322,10 @@ def backtest_folds(
     )
     folds = pts.groupBy(key, "fold").agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.sum("v_u").alias("_s1"),
+        # decimal sum, mirroring _s2: a fold of many large micro-unit values
+        # can overflow a BIGINT sum (silent wraparound pre-ANSI), while the
+        # DuckDB oracle's SUM(bigint) widens to HUGEINT (ADVICE r6)
+        F.sum(F.col("v_u").cast("decimal(38,0)")).alias("_s1"),
         F.sum(F.col("v_u").cast("decimal(19,0)") * F.col("v_u")).alias("_s2"),
         F.max(F.when(F.col("rn_last") == 1, F.col("v_u"))).alias("_last_u"),
     )

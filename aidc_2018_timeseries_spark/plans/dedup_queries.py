@@ -782,7 +782,10 @@ def dedup_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "posting join runs over one representative per identical-content "
     "group, erasing the duplicated-corpus quadratic the round-5 10x "
     "audit measured (the true output is still quadratic in copy count; "
-    "only the COMPUTE no longer is)",
+    "only the COMPUTE no longer is). Round 7: redundancy skip-gate — one "
+    "digest aggregate routes (nearly) exact-clean corpora (like this "
+    "testdata: <= 0.3% redundant rows) straight to the direct operator, "
+    "so the collapse overhead is paid only where it wins",
 )
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -817,25 +820,44 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "column), with star edges member→canonical restoring connectivity — "
     "components and min-labels are IDENTICAL to the direct run because "
     "identical (content, lang) docs share a block and pair at distance "
-    "0, while token-less docs (NULL block key, never pair directly) are "
-    "excluded from star edges to keep them singletons",
+    "0, while token-less docs (NULL block key) and NULL-lang docs (the "
+    "blocked join's equality is null-unsafe, so they never pair "
+    "directly) are excluded from star edges to keep them singletons",
 )
 def dedup_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aidc_2018_timeseries_spark.operators.graph import connected_components
     from aidc_2018_timeseries_spark.operators.text import tokenize
 
     d = load_table(spark, sf_dir, "documents")
+    # skip-gate (round-6 verdict item 2): (nearly) exact-clean corpus ->
+    # the star relation would be (almost) empty and reps ~= d, so run the
+    # direct blocked pairing without the collapse mapping/expansion
+    # overhead; both paths are exact (equality pytest-pinned)
+    if (
+        dd.exact_dup_redundancy(d, "text", key_cols=["lang"])
+        <= dd.COLLAPSE_REDUNDANCY_THRESHOLD
+    ):
+        pairs = dd.blocked_edit_distance_pairs(
+            d, "doc_id", "text", block_cols=["lang"], prefix_tokens=4, max_dist=3
+        ).select("id_a", "id_b")
+        return connected_components(
+            d.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+        ).select(F.col("node").alias("doc_id"), F.col("label").alias("entity_id"))
     mapping, reps = dd.exact_collapse(d, "doc_id", "text", key_cols=["lang"])
     rep_pairs = dd.blocked_edit_distance_pairs(
         reps, "doc_id", "text", block_cols=["lang"], prefix_tokens=4, max_dist=3
     ).select("id_a", "id_b")
     # star edges: member -> its group's canonical, but ONLY for groups
-    # whose content has >= 1 token — a token-less doc has a NULL block key
-    # and never pairs in the direct computation, so its identical copies
-    # must stay singletons here too
-    tokened = reps.filter(F.size(tokenize(F.col("text"))) > 0).select(
-        F.col("doc_id").alias("canonical_id")
-    )
+    # whose content has >= 1 token AND a non-NULL lang — a token-less doc
+    # has a NULL block key and never pairs in the direct computation, and
+    # the blocked join's null-unsafe equality means NULL-lang docs never
+    # pair either, while exact_collapse's window groups NULL lang together
+    # — so both classes' identical copies must stay singletons here too
+    # (ADVICE r6: the lang guard; testdata lang is non-null, but the
+    # equality guarantee must not depend on that)
+    tokened = reps.filter(
+        (F.size(tokenize(F.col("text"))) > 0) & F.col("lang").isNotNull()
+    ).select(F.col("doc_id").alias("canonical_id"))
     star = (
         mapping.filter(F.col("doc_id") != F.col("canonical_id"))
         .join(tokened, "canonical_id", "semi")

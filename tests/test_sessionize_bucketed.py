@@ -83,4 +83,35 @@ def test_hot_key_partitions_are_bounded(spark):
     assert _collect(out) == want
     # sanity on the plan: the big-side window partitions by (k, bucket)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "_b" in plan
+    assert "_sb_b" in plan
+
+
+def test_negative_timestamps_floor_bucketed(spark):
+    """Negative us must land in true floor buckets (ADVICE r6: the old
+    truncate-toward-zero cast gave bucket 0 double width below zero —
+    numbering still matched, but the partition bound silently doubled).
+    Equality to plain AND distinct bucket widths are both checked."""
+    rows = [(1, i, -35_000 + i * 900) for i in range(80)]  # spans us < 0 and >= 0
+    df = spark.createDataFrame(rows, "k long, id long, us long")
+    out = sessionize_bucketed(df, "k", "us", "id", gap_us=GAP, bucket_us=BUCKET)
+    assert _collect(out) == _collect(_plain(df))
+    # floor semantics: us=-1 and us=0 are in different buckets
+    probe = spark.createDataFrame(
+        [(1, 0, -1), (1, 1, 0)], "k long, id long, us long"
+    ).withColumn(
+        "b", F.expr(f"((us - pmod(us, {BUCKET})) div {BUCKET})")
+    )
+    got = {r["us"]: r["b"] for r in probe.collect()}
+    assert got == {-1: -1, 0: 0}
+
+
+def test_helper_column_collision_raises(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 1, 9)], "k long, id long, us long, _sb_off long"
+    )
+    try:
+        sessionize_bucketed(df, "k", "us", "id", gap_us=GAP, bucket_us=BUCKET)
+    except ValueError as e:
+        assert "_sb_off" in str(e)
+    else:
+        raise AssertionError("expected ValueError on _sb_off collision")

@@ -1,6 +1,12 @@
 """Worst-case duplicate-corpus audits for the pairwise dedup family —
 the reproducible source of SCALING.md's round-5/6 collapse tables.
 
+Round 7: the collapsed operators SELF-GATE on measured exact-dup
+redundancy (operators/dedup.py: exact_dup_redundancy); every corpus this
+tool builds is dup-heavy (K>=2 copies, redundancy >= 50%), so the
+"collapsed" timings below include the gate aggregate and still take the
+collapse branch — the A/B meaning is unchanged.
+
 Builds the adversarial corpora from sf0.1 documents in memory:
 - ``copies K``: every doc duplicated K times under shifted ids (the
   ten-identical-copies worst case; compute/output quadratic in K for
