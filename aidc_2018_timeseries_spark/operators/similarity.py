@@ -183,11 +183,18 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     n_centroids: int | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe nearest centroid cells only.
 
     Recall < 1 by design; tests measure recall against brute force rather
-    than exact equality (the driver's rows-only check applies).
+    than exact equality (the driver's rows-only check applies) —
+    EXCEPT under ``arrow=False``, which swaps the GEMM assignment for the
+    bit-reproducible expression form (in-order fold + HALF_UP round,
+    matching DuckDB's sequential list_dot_product): with pinned knobs the
+    whole approximate result becomes deterministic and SQL-expressible,
+    which is what the oracle-checked quality face ``knn_ivf_eval`` runs
+    (round-6 verdict item 1).
 
     ``n_centroids`` overrides ``centroid_stride`` with a corpus-size-
     independent cell count (stride = n / n_centroids, one count() job at
@@ -202,7 +209,8 @@ def ivf_topk(
         n = vectors.count()
         centroid_stride = max(1, n // max(1, n_centroids))
     cents = stride_centroids(vectors, centroid_stride, id_col, vec_col)
-    inverted = assign_centroids_arrow(vectors, cents, id_col, vec_col)
+    assign = assign_centroids_arrow if arrow else assign_centroids
+    inverted = assign(vectors, cents, id_col, vec_col)
     # queries → their n_probe closest centroids
     qc = queries.crossJoin(F.broadcast(cents))
     qsim = F.round(cosine_similarity(F.col(query_vec_col), F.col("centroid_vec")), 6)
@@ -443,9 +451,13 @@ def rp_lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    arrow: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH (the bucketed
     sibling of ivf_topk; brief: "IVF or LSH-bucketed variant").
+    ``arrow=False`` swaps the GEMM signatures for the bit-reproducible
+    expression form — the deterministic path the oracle-checked quality
+    face ``knn_rp_lsh_eval`` runs (round-6 verdict item 1).
 
     Candidates = corpus vectors sharing ANY table's bucket with the query
     (equi-join on (table_id, bucket) — a shuffled hash join over posting
@@ -456,8 +468,9 @@ def rp_lsh_topk(
     driver rows-only check; recall vs brute force is pinned in
     tests/test_similarity.py."""
     planes = hyperplane_rows(dim, n_tables, n_bits, seed)
-    sig_v = lsh_signatures_arrow(vectors, planes, id_col, vec_col)
-    sig_q = lsh_signatures_arrow(queries, planes, query_id_col, query_vec_col)
+    sig_fn = lsh_signatures_arrow if arrow else lsh_signatures
+    sig_v = sig_fn(vectors, planes, id_col, vec_col)
+    sig_q = sig_fn(queries, planes, query_id_col, query_vec_col)
     cand = (
         sig_q.join(sig_v, ["table_id", "bucket"])
         .select(query_id_col, id_col)

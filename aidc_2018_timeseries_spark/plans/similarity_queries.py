@@ -84,6 +84,209 @@ def knn_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.rp_lsh_topk(v, _queries_df(v), n_tables=16, n_bits=bits, k=_K)
 
 
+_IVF_EVAL_STRIDE, _IVF_EVAL_PROBE = 50, 3
+_LSH_EVAL_TABLES, _LSH_EVAL_BITS, _LSH_EVAL_SEED, _LSH_EVAL_DIM = 8, 8, 7, 64
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Guarded 6-dp-rounded cosine (DuckDB) — the NULL-on-zero-norm +
+    ROUND contract every oracle-checked similarity face shares."""
+    return (
+        f"CASE WHEN list_dot_product({a}, {a}) > 0"
+        f" AND list_dot_product({b}, {b}) > 0 THEN"
+        f" ROUND(list_dot_product({a}, {b})"
+        f" / (SQRT(list_dot_product({a}, {a}))"
+        f" * SQRT(list_dot_product({b}, {b}))), 6) END"
+    )
+
+
+_ANN_EVAL_TAIL = """
+    u AS (
+      SELECT query_id,
+             (p.query_id IS NOT NULL) AS in_pred,
+             (t.query_id IS NOT NULL) AS in_truth
+      FROM pred p FULL OUTER JOIN truth t USING (query_id, neighbor_id))
+    SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN in_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+           CAST(SUM(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           ROUND(CAST(SUM(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END), 0), 6) AS recall,
+           ROUND(CAST(SUM(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN in_pred THEN 1 ELSE 0 END), 0), 6) AS precision
+    FROM u
+"""
+
+
+def _truth_ctes() -> str:
+    """Brute-force top-k ground-truth CTEs shared by both ANN eval faces
+    (same arithmetic as the knn_brute_force oracle)."""
+    return f"""
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % {_QUERY_STRIDE} = 0),
+    scored_t AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, {_cos_sql("v.e", "q.qe")} AS sim
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rk
+        FROM scored_t WHERE sim IS NOT NULL)
+      WHERE rk <= {_K})"""
+
+
+def _ivf_eval_oracle() -> str:
+    """Restate the WHOLE IVF algorithm in DuckDB — stride centroids,
+    argmax assignment (rounded cosine, lowest-centroid-id tie), n_probe
+    cell selection per query, in-cell rescore + top-k — then score it
+    against the brute-force truth. Every float op is the shared in-order
+    fold + 6-dp round, so the hash check verifies the algorithm AND its
+    measured quality."""
+    return f"""
+    WITH {_truth_ctes()},
+    cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+             WHERE vec_id % {_IVF_EVAL_STRIDE} = 0),
+    casg AS (SELECT v.vec_id, c.centroid_id, {_cos_sql("v.e", "c.ce")} AS csim
+             FROM v CROSS JOIN cent c),
+    asg AS (SELECT vec_id, centroid_id FROM (
+              SELECT vec_id, centroid_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY csim DESC, centroid_id) AS rk
+              FROM casg WHERE csim IS NOT NULL) WHERE rk = 1),
+    qprobe AS (SELECT q.query_id, c.centroid_id, {_cos_sql("q.qe", "c.ce")} AS qsim
+               FROM q CROSS JOIN cent c),
+    probes AS (SELECT query_id, centroid_id FROM (
+                 SELECT query_id, centroid_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY qsim DESC, centroid_id) AS rk
+                 FROM qprobe WHERE qsim IS NOT NULL) WHERE rk <= {_IVF_EVAL_PROBE}),
+    cscore AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                      {_cos_sql("vv.e", "qq.qe")} AS sim
+               FROM probes p JOIN asg a USING (centroid_id)
+               JOIN v vv ON vv.vec_id = a.vec_id
+               JOIN q qq ON qq.query_id = p.query_id
+               WHERE a.vec_id <> p.query_id),
+    pred AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rk
+               FROM cscore WHERE sim IS NOT NULL) WHERE rk <= {_K}),
+    {_ANN_EVAL_TAIL}
+    """
+
+
+def _ann_eval(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """One-row quality scorecard: (query, neighbor) sets compared via a
+    key-coalescing full outer join — n_queries/n_truth/n_pred/hits plus
+    recall and precision (6 dp). Mirrors dedup_minhash_eval's shape."""
+    p = pred.select("query_id", "neighbor_id").withColumn("in_pred", F.lit(True))
+    t = truth.select("query_id", "neighbor_id").withColumn("in_truth", F.lit(True))
+    u = p.join(t, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        F.coalesce("in_pred", F.lit(False)).alias("in_pred"),
+        F.coalesce("in_truth", F.lit(False)).alias("in_truth"),
+    )
+    hits = F.sum((F.col("in_pred") & F.col("in_truth")).cast("long"))
+    n_pred = F.sum(F.col("in_pred").cast("long"))
+    n_truth = F.sum(F.col("in_truth").cast("long"))
+    return u.groupBy().agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        n_truth.alias("n_truth"),
+        n_pred.alias("n_pred"),
+        hits.alias("hits"),
+        F.round(hits.cast("double") / F.nullif(n_truth, F.lit(0)), 6).alias("recall"),
+        F.round(hits.cast("double") / F.nullif(n_pred, F.lit(0)), 6).alias("precision"),
+    )
+
+
+@register(
+    "knn_ivf_eval",
+    _ivf_eval_oracle(),
+    doc="IVF quality scorecard, ORACLE-CHECKED (round-6 verdict item 1 — "
+    "the dedup_minhash_eval pattern applied to ANN): ivf_topk on the "
+    "bit-reproducible expression assignment path (arrow=False; in-order "
+    "fold + 6-dp round matches DuckDB's sequential list functions) with "
+    "pinned knobs (stride 50, probe 3), scored against brute-force "
+    "ground truth — n_queries/n_truth/n_pred/hits/recall/precision in "
+    "one hash-checked row. The GEMM production path is pinned equal to "
+    "the expression path in tests/test_similarity.py, so this face "
+    "certifies the quality of BOTH. At 100 TB this is the tune-on-a-"
+    "sampled-stratum run: truth is quadratic in the stratum only",
+)
+def knn_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(v)
+    pred = sim.ivf_topk(
+        v, q, centroid_stride=_IVF_EVAL_STRIDE, n_probe=_IVF_EVAL_PROBE,
+        k=_K, arrow=False,
+    )
+    return _ann_eval(pred, sim.brute_force_topk(v, q, k=_K))
+
+
+def _rp_lsh_eval_oracle() -> str:
+    """Restate the WHOLE sign-LSH top-k in DuckDB — bit-identical
+    hyperplane constants (one Python source of truth:
+    sim.hyperplane_rows, the dedup_embedding_lsh pattern), bucket packing,
+    (table, bucket) candidate join, rescore + top-k — scored against the
+    brute-force truth."""
+    rows = sim.hyperplane_rows(
+        _LSH_EVAL_DIM, _LSH_EVAL_TABLES, _LSH_EVAL_BITS, _LSH_EVAL_SEED
+    )
+    values = ",\n      ".join(
+        f"({t}, {b}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        for t, b, plane in rows
+    )
+    return f"""
+    WITH {_truth_ctes()},
+    planes(table_id, bit_idx, plane) AS (VALUES
+      {values}),
+    sig AS (
+      SELECT v.vec_id, p.table_id,
+             CAST(SUM(CASE WHEN ROUND(list_dot_product(v.e, p.plane), 6) > 0
+                           THEN (CAST(1 AS BIGINT) << p.bit_idx) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.table_id),
+    cand AS (
+      SELECT DISTINCT sq.vec_id AS query_id, sv.vec_id AS neighbor_id
+      FROM sig sq JOIN sig sv
+        ON sq.table_id = sv.table_id AND sq.bucket = sv.bucket
+      WHERE sq.vec_id % {_QUERY_STRIDE} = 0 AND sv.vec_id <> sq.vec_id),
+    cscore AS (SELECT c.query_id, c.neighbor_id, {_cos_sql("vn.e", "qq.qe")} AS sim
+               FROM cand c JOIN v vn ON vn.vec_id = c.neighbor_id
+               JOIN q qq ON qq.query_id = c.query_id),
+    pred AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rk
+               FROM cscore WHERE sim IS NOT NULL) WHERE rk <= {_K}),
+    {_ANN_EVAL_TAIL}
+    """
+
+
+@register(
+    "knn_rp_lsh_eval",
+    _rp_lsh_eval_oracle(),
+    doc="sign-LSH kNN quality scorecard, ORACLE-CHECKED (round-6 verdict "
+    "item 1): rp_lsh_topk on the bit-reproducible expression-signature "
+    "path (arrow=False) with pinned knobs (8 tables x 8 bits, seed 7, "
+    "plane constants inlined into the SQL), scored against brute-force "
+    "truth — one hash-checked recall/precision row. Certifies the GEMM "
+    "path too via the arrow==expression equality pin in tests. Precision "
+    "< 1 here (unlike rank-complete truth overlap in knn_ivf_eval's "
+    "probed cells) is expected: pred ranks only bucket-mates, so its "
+    "top-k can include pairs outside the global top-k",
+)
+def knn_rp_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(v)
+    pred = sim.rp_lsh_topk(
+        v, q, n_tables=_LSH_EVAL_TABLES, n_bits=_LSH_EVAL_BITS, k=_K,
+        seed=_LSH_EVAL_SEED, dim=_LSH_EVAL_DIM, arrow=False,
+    )
+    return _ann_eval(pred, sim.brute_force_topk(v, q, k=_K))
+
+
 @register(
     "kmeans_step_centroids",
     """

@@ -200,3 +200,30 @@ def test_assign_centroids_arrow_empty_centroids(spark):
     out = assign_centroids_arrow(v, none)
     assert out.count() == 0
     assert out.columns == ["vec_id", "embedding", "centroid_id"]
+
+
+def test_topk_arrow_path_matches_expression_path(spark):
+    """ivf_topk / rp_lsh_topk: the Arrow GEMM production path and the
+    bit-reproducible expression path (what the oracle-checked
+    knn_ivf_eval / knn_rp_lsh_eval faces run) must produce the SAME
+    ranked result on the testdata — the link that lets a driver-green
+    eval face certify the GEMM path's quality too. A genuine divergence
+    needs |dot| within float ulps of the 6-dp rounding boundary; if this
+    ever trips, the eval faces no longer speak for the arrow=True path."""
+    from aidc_2018_timeseries_spark.operators.similarity import rp_lsh_topk
+
+    v = load_table(spark, SF_DIR, "embeddings")
+    q = _queries(v)
+    for fn, kw in (
+        (ivf_topk, dict(centroid_stride=50, n_probe=3, k=5)),
+        (rp_lsh_topk, dict(n_tables=8, n_bits=8, k=5, seed=7, dim=64)),
+    ):
+        gemm = {
+            (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+            for r in fn(v, q, arrow=True, **kw).collect()
+        }
+        expr = {
+            (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+            for r in fn(v, q, arrow=False, **kw).collect()
+        }
+        assert gemm == expr, fn.__name__
