@@ -107,6 +107,106 @@ def rolling_window_arrays(
     )
 
 
+def rolling_window_agg_bucketed(
+    df: DataFrame,
+    key: str,
+    us_col: str,
+    id_col: str,
+    agg_exprs: dict[str, Column],
+    seq_len: int,
+    value_bucket: int,
+    row_bucket: int,
+    complete_only: bool = True,
+) -> DataFrame:
+    """W1 with BOUNDED window partitions — the skew-proof sibling of
+    :func:`rolling_window_agg` for the regime the round-6 len10x/keys10x
+    audit isolated: ONE series outgrowing a single task (plain W1 puts a
+    series' entire history in one window partition; a 100M-row series is
+    one task's sort no matter how many executors exist).
+
+    The hierarchical prefix-sum template (operators/intervals.py) applied
+    to trailing ROW windows:
+
+    1. global per-series row number ``rn`` WITHOUT a per-series window:
+       local row_number within (key, ``us_col div value_bucket``) +
+       exclusive prefix-sum of bucket counts over the tiny per-(key,
+       bucket) summary relation — the sessionize_bucketed rn machinery;
+    2. row-bucket ``g = (rn-1) div row_bucket``; the last ``seq_len-1``
+       rows of each bucket are REPLICATED into bucket g+1 as context
+       (trailing windows need exactly T-1 rows of carry-in — bounded,
+       explicit, and cheap because seq_len << row_bucket);
+    3. the trailing frame runs within (key, g) ordered by rn: every
+       non-context row's frame is fully contained in its bucket's
+       contiguous rn range [g*B - (T-1) + 1, (g+1)*B], so the result is
+       row-identical to the plain form (equality pytest-pinned).
+
+    ``row_bucket`` must be >= ``seq_len`` so context only ever comes from
+    the immediately-preceding bucket. ``complete_only=True`` keeps the
+    plain form's "first T-1 windows don't exist" parity; ``False`` emits
+    truncated leading frames (the trailing_window_zscore contract) —
+    safe because rn < seq_len implies bucket 0, where truncation is
+    exactly the plain behavior.
+
+    Output: input columns + ``rn`` + the aggregate columns.
+    """
+    if row_bucket < seq_len:
+        raise ValueError(
+            f"row_bucket ({row_bucket}) must be >= seq_len ({seq_len}): "
+            "context replication only reaches one bucket back"
+        )
+    tmp = ("_rb_vb", "_rb_lrn", "_rb_n", "_rb_off", "_rb_g", "_rb_ctx", "rn")
+    clash = [c for c in df.columns if c in tmp]
+    if clash:
+        raise ValueError(
+            f"rolling_window_agg_bucketed: input columns {clash} collide "
+            f"with internal helper names {tmp}"
+        )
+    # exact long floor-div (sessionize_bucketed's form): floor, not
+    # truncation, so negative order values keep bounded buckets too
+    vb = F.expr(
+        f"(`{us_col}` - pmod(`{us_col}`, {int(value_bucket)})) div {int(value_bucket)}"
+    )
+    w_in = Window.partitionBy(key, "_rb_vb").orderBy(us_col, id_col)
+    local = df.withColumn("_rb_vb", vb).withColumn(
+        "_rb_lrn", F.row_number().over(w_in).cast("long")
+    )
+    counts = local.groupBy(key, "_rb_vb").agg(F.count(F.lit(1)).alias("_rb_n"))
+    w_b = (
+        Window.partitionBy(key)
+        .orderBy("_rb_vb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # per-(key, value-bucket) summary: tiny relation, its per-key window
+    # is over bucket COUNTS, never rows. Plain equi-join back (not
+    # broadcast): big side already carries (key, _rb_vb) partitioning
+    offsets = counts.withColumn(
+        "_rb_off", F.sum("_rb_n").over(w_b) - F.col("_rb_n")
+    ).select(key, "_rb_vb", "_rb_off")
+    withrn = (
+        local.join(offsets, [key, "_rb_vb"])
+        .withColumn("rn", F.col("_rb_lrn") + F.col("_rb_off"))
+        .drop("_rb_vb", "_rb_lrn", "_rb_off")
+    )
+    b = int(row_bucket)
+    g = F.expr(f"(rn - 1) div {b}")
+    own = withrn.withColumn("_rb_g", g).withColumn("_rb_ctx", F.lit(0))
+    ctx = (
+        withrn.filter(F.expr(f"pmod(rn - 1, {b})") >= b - (seq_len - 1))
+        .withColumn("_rb_g", g + 1)
+        .withColumn("_rb_ctx", F.lit(1))
+    )
+    frame = (
+        Window.partitionBy(key, "_rb_g")
+        .orderBy("rn")
+        .rowsBetween(-(seq_len - 1), Window.currentRow)
+    )
+    out = own.unionByName(ctx)
+    for name, expr in agg_exprs.items():
+        out = out.withColumn(name, expr.over(frame))
+    out = out.filter(F.col("_rb_ctx") == 0).drop("_rb_g", "_rb_ctx")
+    return out.filter(F.col("rn") >= seq_len) if complete_only else out
+
+
 def strided_rolling_window_agg(
     df: DataFrame,
     key: str,

@@ -472,30 +472,134 @@ def training_curve_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- W14 with the TCN model predictor: reference-faithful generation ---
+_W14_SEQ, _W14_STEPS = 10, 5
+
+
+def _w14_tcn_weights():
+    """The face's pinned model: 1 residual block, kernel 2, 2 hidden
+    channels (seeded). Receptive field (k-1)·2+1 = 3, so the scalar
+    prediction is a CLOSED FORM over the window's last three points —
+    which is what makes the autoregressive loop oracle-expressible
+    (round-6 verdict item 7; the ewma_final_fold recurrence pattern).
+    The deep default config stays covered by the distributed==local
+    parity pin in tests/test_autoregressive_seq2seq.py."""
+    from aidc_2018_timeseries_spark.ml.tcn import TCNWeights
+
+    return TCNWeights(n_features=1, n_hidden=2, levels=1, kernel_size=2, seed=42)
+
+
+def _w14_tcn_step_sql(a: str, b: str, c: str) -> str:
+    """One tcn_forward(window[-3:]) as a DuckDB expression with the
+    weight-NORMALIZED constants inlined (one Python source of truth:
+    _w14_tcn_weights + ml.tcn.weight_normalized). Float grouping mirrors
+    the NumPy accumulation exactly: conv taps fold ((tap0 + tap1) + bias),
+    two-term dots group (x·w0 + x·w1), relu = GREATEST(·, 0.0), residual
+    adds after the main path's relu — so both engines produce the same
+    doubles bit-for-bit and the 6-dp output round is cosmetic."""
+    from aidc_2018_timeseries_spark.ml.tcn import weight_normalized
+
+    v1, g1, b1, v2, g2, b2, side = _w14_tcn_weights().blocks[0]
+    W1 = weight_normalized(v1, g1)  # (k=2, 1, 2)
+    W2 = weight_normalized(v2, g2)  # (k=2, 2, 2)
+    wr, br = _w14_tcn_weights().readout  # (2, 1), (1,)
+
+    def h1(x0: str, x1: str, ch: int) -> str:
+        return (
+            f"GREATEST((({x0}) * {W1[0, 0, ch]!r} + ({x1}) * {W1[1, 0, ch]!r})"
+            f" + {b1[ch]!r}, 0.0)"
+        )
+
+    h1p = [h1(a, b, ch) for ch in range(2)]  # h1 at T-2: taps x[T-3], x[T-2]
+    h1l = [h1(b, c, ch) for ch in range(2)]  # h1 at T-1: taps x[T-2], x[T-1]
+    h = []
+    for ch in range(2):
+        tap0 = f"({h1p[0]}) * {W2[0, 0, ch]!r} + ({h1p[1]}) * {W2[0, 1, ch]!r}"
+        tap1 = f"({h1l[0]}) * {W2[1, 0, ch]!r} + ({h1l[1]}) * {W2[1, 1, ch]!r}"
+        main = f"GREATEST((({tap0}) + ({tap1})) + {b2[ch]!r}, 0.0)"
+        h.append(
+            f"GREATEST(({main}) + ({c}) * {side[0, 0, ch]!r}, 0.0)"
+        )
+    return (
+        f"(({h[0]}) * {wr[0, 0]!r} + ({h[1]}) * {wr[1, 0]!r}) + {br[0]!r}"
+    )
+
+
+def _w14_tcn_oracle() -> str:
+    """The W14 loop unrolled: the seed window's last three points (rn =
+    len-7..len-5 of each >=15-row series) feed step 1; each later step's
+    inputs shift one generated value in — g2 = f(b, c, g1), g3 =
+    f(c, g1, g2), ... — chained through CTEs with UNROUNDED doubles (the
+    Spark loop feeds raw predictions forward too); only the final SELECT
+    rounds."""
+    steps = ""
+    args = [("a", "b", "c"), ("b", "c", "g1"), ("c", "g1", "g2"),
+            ("g1", "g2", "g3"), ("g2", "g3", "g4")]
+    prev = "seed"
+    for i, (x, y, z) in enumerate(args, start=1):
+        steps += (
+            f"    s{i} AS (SELECT *, {_w14_tcn_step_sql(x, y, z)} AS g{i}"
+            f" FROM {prev}),\n"
+        )
+        prev = f"s{i}"
+    case = " ".join(
+        f"WHEN {s} THEN g{s}" for s in range(1, _W14_STEPS + 1)
+    )
+    return f"""
+    WITH r AS (
+      SELECT user_id, COALESCE(value, 0.0) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS len
+      FROM events),
+    seed AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn = len - 7 THEN v END) AS a,
+             MAX(CASE WHEN rn = len - 6 THEN v END) AS b,
+             MAX(CASE WHEN rn = len - 5 THEN v END) AS c
+      FROM r WHERE len >= {_W14_SEQ + _W14_STEPS} GROUP BY user_id),
+{steps}    act AS (
+      SELECT user_id, CAST(rn - (len - {_W14_STEPS}) AS INT) AS step, v AS actual
+      FROM r WHERE len >= {_W14_SEQ + _W14_STEPS} AND rn > len - {_W14_STEPS}),
+    gen AS (
+      SELECT user_id, st.step,
+             CASE st.step {case} END AS generated
+      FROM s{_W14_STEPS} CROSS JOIN (VALUES (1), (2), (3), (4), (5)) st(step))
+    SELECT g.user_id, CAST(g.step AS INT) AS step,
+           ROUND(g.generated, 6) AS generated,
+           ROUND(a.actual, 6) AS actual
+    FROM gen g JOIN act a ON a.user_id = g.user_id AND a.step = g.step
+    """
+
+
 @register(
     "w14_tcn_autoregressive",
-    None,  # model-in-the-loop generation is not SQL-expressible → rows-only;
-    # distributed == local-NumPy-replay parity is pinned in
-    # tests/test_autoregressive_seq2seq.py::test_autoregressive_with_tcn_predictor
+    _w14_tcn_oracle(),
     doc="W14 composed with the TCN forward pass (reference "
     "utils/inference.py:61 generates with the trained model): each series' "
     "sliding window feeds tcn_forward worker-side via applyInPandas; "
-    "deterministic seeded weights make the output reproducible",
+    "deterministic seeded weights make the output reproducible. "
+    "ORACLE-CHECKED since round 7: the pinned 1-block/k=2/2-channel model "
+    "has receptive field 3, so the whole generate loop is a closed form "
+    "over the seed window's tail — the oracle unrolls it with the "
+    "weight-normalized constants inlined and NumPy's exact float grouping "
+    "(the ewma_final_fold recurrence pattern applied to a model in the "
+    "loop). The deep default config remains pinned distributed==local in "
+    "tests/test_autoregressive_seq2seq.py",
 )
 def w14_tcn_autoregressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aidc_2018_timeseries_spark.ml.autoregressive import (
         autoregressive_generate,
         tcn_predictor,
     )
-    from aidc_2018_timeseries_spark.ml.tcn import TCNWeights
     from aidc_2018_timeseries_spark.operators.filters import min_length_filter
 
-    ev = load_table(spark, sf_dir, "events")
-    ev = min_length_filter(ev, "user_id", min_len=15)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(0.0))
+    )
+    ev = min_length_filter(ev, "user_id", min_len=_W14_SEQ + _W14_STEPS)
     out = autoregressive_generate(
         ev, "user_id", ["ts", "event_id"], "value",
-        seq_len=10, n_steps=5,
-        predictor=tcn_predictor(TCNWeights(n_features=1, seed=42)),
+        seq_len=_W14_SEQ, n_steps=_W14_STEPS,
+        predictor=tcn_predictor(_w14_tcn_weights()),
     )
     return out.select(
         "user_id", "step",
