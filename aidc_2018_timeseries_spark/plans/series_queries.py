@@ -24,9 +24,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- W1: overlapping rolling window (reference datasets/timeseries.py:90-115) ---
-@register(
-    "w1_rolling_mean",
-    f"""
+_W1_ORACLE = f"""
     WITH r AS (
       SELECT user_id, event_id,
              ROW_NUMBER() OVER ({_ORA_WIN}) AS rn,
@@ -34,12 +32,41 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS win_mean
       FROM events)
     SELECT user_id, event_id, win_mean FROM r WHERE rn >= 20
-    """,
+    """
+
+
+@register(
+    "w1_rolling_mean",
+    _W1_ORACLE,
     doc="W1 rolling window (T=20) as trailing mean; partial windows dropped",
 )
 def w1_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = windowing.rolling_window_agg(
         _events(spark, sf_dir), KEY, ORDER, {"win_mean": F.avg(F.col(VAL))}, seq_len=20
+    )
+    return df.select(KEY, "event_id", F.round(F.col("win_mean"), 6).alias("win_mean"))
+
+
+@register(
+    "w1_rolling_mean_bucketed",
+    _W1_ORACLE,  # SAME oracle as w1_rolling_mean: the bucketed form must be row-identical
+    doc="SKEW-PROOF W1 (operators/windowing.py:rolling_window_agg_bucketed, "
+    "round-6 verdict item 6): trailing T=20 mean with BOUNDED window "
+    "partitions — hierarchical prefix-sum row numbers (no per-series "
+    "window anywhere) + per-(series, row-bucket) frames with T-1 rows of "
+    "explicit carry-in. The one-series-100M-rows audit "
+    "(tools/bench_rolling_bucketed.py, SCALING.md round 7) measured plain "
+    "W1 at 353s (one un-splittable sort task) vs 121s bucketed; same "
+    "deployment rule as sessionize_bucketed: plain by default, bucketed "
+    "when one series can outgrow a task. Row-bucket 64 is deliberately "
+    "small here so sf0.01's ~66-row series SPAN buckets and the driver "
+    "hash-checks the carry-in stitch, not just the easy case",
+)
+def w1_rolling_mean_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = windowing.rolling_window_agg_bucketed(
+        _events(spark, sf_dir), KEY, "ts", "event_id",
+        {"win_mean": F.avg(F.col(VAL))},
+        seq_len=20, value_bucket=21_600_000_000_000, row_bucket=64,
     )
     return df.select(KEY, "event_id", F.round(F.col("win_mean"), 6).alias("win_mean"))
 

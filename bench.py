@@ -107,6 +107,15 @@ HEADLINE = [
     # the full Gopher repetition filter — cheap by design, in the set so
     # the explode→partial-agg plan stays on the regression radar
     "text_repetition_signals",
+    # added round 7 (subtract when comparing against earlier totals):
+    # the oracle-checked ANN quality scorecards (each contains a
+    # brute-force truth pass — sampled-stratum-sized by design), the
+    # skew-proof W1 twin (same oracle as w1_rolling_mean), and the
+    # model-in-the-loop W14 now that it is hash-checked
+    "knn_ivf_eval",
+    "knn_rp_lsh_eval",
+    "w1_rolling_mean_bucketed",
+    "w14_tcn_autoregressive",
 ]
 
 

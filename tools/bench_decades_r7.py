@@ -1,0 +1,160 @@
+"""Round-7 decade audits (round-6 verdict item 5): the three round-6
+operators that only had one decade on record.
+
+- ``events_sessionize_bucketed`` at Zipf 100× (100M events, hot user
+  ~45%): does the bucket-width partition bound hold an order of
+  magnitude past the round-6 10M audit? Plain ``events_sessionize`` is
+  measured for contrast (its hot-user partition is ~45M rows — ONE
+  task's sort).
+- ``graph_triangles_copurchase`` at 100× lineitem (100 orderkey-shifted
+  copies of sf0.1 = 60M rows): the round-5 10× row predates the
+  degree-ordered orientation; this is the first 100× row on the r6 plan.
+- ``llm_corpus_pipeline`` (+``_packed``) at 10× documents (10 id-shifted
+  IDENTICAL copies, 50k docs — the duplicated-corpus regime, declared:
+  every doc gains a 10-clique in the candidate graph, so this stresses
+  the CC + canonicalization stages, not just the scan).
+
+Corpora build under .bench_r7/ (git-ignored, deletable); min-of-2 warm
+except where a single run is already minutes (noted inline).
+Usage: python tools/bench_decades_r7.py [sessionize|triangles|pipeline]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+
+HERE = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(HERE))
+
+SRC = Path("/root/testdata/sf0.1")
+OUT = HERE / ".bench_r7"
+ZIPF_A = 1.1
+
+
+def build_events_zipf_100x() -> Path:
+    """100M events: 1,000 event_id-shifted copies of sf0.1 events with
+    user_id Zipf(1.1)-remapped over the real user universe (the
+    bench_skew recipe, one decade further)."""
+    d = OUT / "zipf100"
+    if (d / "events.parquet").exists():
+        return d
+    d.mkdir(parents=True, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+    base = con.sql(
+        f"SELECT event_id, epoch_us(ts) AS us, user_id "
+        f"FROM '{SRC}/events.parquet'"
+    ).fetchnumpy()
+    users = np.sort(np.unique(base["user_id"]))
+    n, copies = len(base["event_id"]), 1_000
+    rng = np.random.default_rng(7)
+    ranks = rng.zipf(ZIPF_A, n * copies)
+    uid = users[np.minimum(ranks - 1, len(users) - 1)]
+    eid = np.tile(base["event_id"], copies) + np.repeat(
+        np.arange(copies, dtype=np.int64) * 10_000_000, n
+    )
+    us = np.tile(base["us"], copies)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(us, pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d / "events.parquet")
+    hot = np.bincount(np.searchsorted(users, uid)).max()
+    print(f"zipf100 events: {n * copies:,} rows; hot user holds {hot:,} "
+          f"({100 * hot / (n * copies):.0f}%)", flush=True)
+    return d
+
+
+def build_lineitem_100x() -> Path:
+    d = OUT / "li100"
+    if (d / "lineitem.parquet").exists():
+        return d
+    d.mkdir(parents=True, exist_ok=True)
+    duckdb.sql(
+        f"COPY (SELECT l_orderkey + i * 1_000_000_000 AS l_orderkey, "
+        f"l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
+        f"l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
+        f"FROM '{SRC}/lineitem.parquet' CROSS JOIN range(100) t(i)) "
+        f"TO '{d}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    for t in ("part", "orders", "supplier", "nation", "region", "customer"):
+        shutil.copy(SRC / f"{t}.parquet", d / f"{t}.parquet")
+    print("li100 lineitem: 60,000,000 rows", flush=True)
+    return d
+
+
+def build_documents_10x() -> Path:
+    d = OUT / "docs10"
+    if (d / "documents.parquet").exists():
+        return d
+    d.mkdir(parents=True, exist_ok=True)
+    duckdb.sql(
+        f"COPY (SELECT doc_id + i * 1_000_000 AS doc_id, text, lang, "
+        f"source, n_chars FROM '{SRC}/documents.parquet' "
+        f"CROSS JOIN range(10) t(i)) "
+        f"TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    shutil.copy(SRC / "embeddings.parquet", d / "embeddings.parquet")
+    print("docs10 documents: 50,000 rows (10 identical copies)", flush=True)
+    return d
+
+
+def measure(q, name: str, sf_dir: Path, runs: int = 2) -> None:
+    walls = []
+    rows = None
+    for _ in range(runs):
+        t0 = time.time()
+        rows = q[name](spark_q[0], str(sf_dir)).count()
+        walls.append(time.time() - t0)
+    note = "" if runs > 1 else "  (single run)"
+    print(f"{name} [{sf_dir.name}]: {min(walls):.1f}s "
+          f"({rows:,} result rows){note}", flush=True)
+
+
+spark_q = [None]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from __spark_entry__ import queries
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark_q[0] = spark
+    q = queries()
+    which = set(sys.argv[1:]) or {"sessionize", "triangles", "pipeline"}
+
+    if "sessionize" in which:
+        d = build_events_zipf_100x()
+        measure(q, "events_sessionize_bucketed", d)
+        measure(q, "events_sessionize", d, runs=1)
+    if "triangles" in which:
+        d = build_lineitem_100x()
+        measure(q, "graph_triangles_copurchase", d, runs=1)
+    if "pipeline" in which:
+        d = build_documents_10x()
+        measure(q, "llm_corpus_pipeline", d)
+        measure(q, "llm_corpus_pipeline_packed", d)
+
+
+if __name__ == "__main__":
+    main()

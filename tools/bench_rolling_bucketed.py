@@ -15,8 +15,9 @@ forms; equality is asserted at 1M (the pytest battery covers the edge
 corpora). min-of-2 warm at 1M/10M; single run at 100M (the plain form
 alone is minutes there — the point of the audit).
 
-Usage: python tools/bench_rolling_bucketed.py [N ...]
-(default decades: 1000000 10000000 100000000)
+Usage: python tools/bench_rolling_bucketed.py [--only w1|a2] [N ...]
+(default decades: 1000000 10000000 100000000; --only splits the 100M
+run across tool invocations — plain A2 alone is ~10 min there)
 """
 
 from __future__ import annotations
@@ -94,7 +95,11 @@ def main() -> None:
         # sum the window column so Catalyst cannot prune the computation
         return out.select(F.sum(F.col(col))).collect()[0][0]
 
-    sizes = [int(a) for a in sys.argv[1:]] or [1_000_000, 10_000_000, 100_000_000]
+    argv = sys.argv[1:]
+    only = None
+    if argv[:1] == ["--only"]:
+        only, argv = argv[1].lower(), argv[2:]
+    sizes = [int(a) for a in argv] or [1_000_000, 10_000_000, 100_000_000]
     for n in sizes:
         df = spark.read.parquet(build(n))
         runs = 2 if n < 100_000_000 else 1
@@ -104,6 +109,8 @@ def main() -> None:
             ("plain  A2", plain_z, "v_z"),
             ("bucket A2", buck_z, "v_z"),
         ):
+            if only and only not in label.lower().replace(" ", ""):
+                continue
             walls = []
             for _ in range(runs):
                 t0 = time.time()
