@@ -85,7 +85,12 @@ def knn_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_EVAL_STRIDE, _IVF_EVAL_PROBE = 50, 3
-_LSH_EVAL_TABLES, _LSH_EVAL_BITS, _LSH_EVAL_SEED, _LSH_EVAL_DIM = 8, 8, 7, 64
+# 16 tables x 5 bits = what the production knn_rp_lsh face runs at this
+# corpus size (scaled_n_bits(500) = 5, ~16 vectors/bucket): the scorecard
+# should grade a REALISTIC configuration, not a strawman — the first cut
+# of this face pinned 8x8 (256 buckets over 500 vectors) and measured
+# recall 0.08, an honest but useless "too sparse" verdict
+_LSH_EVAL_TABLES, _LSH_EVAL_BITS, _LSH_EVAL_SEED, _LSH_EVAL_DIM = 16, 5, 7, 64
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -269,13 +274,13 @@ def _rp_lsh_eval_oracle() -> str:
     _rp_lsh_eval_oracle(),
     doc="sign-LSH kNN quality scorecard, ORACLE-CHECKED (round-6 verdict "
     "item 1): rp_lsh_topk on the bit-reproducible expression-signature "
-    "path (arrow=False) with pinned knobs (8 tables x 8 bits, seed 7, "
-    "plane constants inlined into the SQL), scored against brute-force "
-    "truth — one hash-checked recall/precision row. Certifies the GEMM "
-    "path too via the arrow==expression equality pin in tests. Precision "
-    "< 1 here (unlike rank-complete truth overlap in knn_ivf_eval's "
-    "probed cells) is expected: pred ranks only bucket-mates, so its "
-    "top-k can include pairs outside the global top-k",
+    "path (arrow=False) with the PRODUCTION configuration (16 tables x "
+    "5 bits = scaled_n_bits at this corpus; plane constants inlined into "
+    "the SQL), scored against brute-force truth — one hash-checked "
+    "recall/precision row (0.68 at sf0.01; both sides reproduce the "
+    "number exactly, which is the point: even the approximation QUALITY "
+    "is cross-engine-verified). Certifies the GEMM path too via the "
+    "arrow==expression equality pin in tests",
 )
 def knn_rp_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings")
