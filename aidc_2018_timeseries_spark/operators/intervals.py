@@ -199,6 +199,14 @@ def sessionize_bucketed(
             ).otherwise(F.lit(0)),
         )
         .withColumn("_sb_cum", F.sum("_sb_flag").over(w_cum))
+        # materialize ONCE (deferred): flagged feeds BOTH the summary
+        # aggregation and the final join, and Spark does not reuse the
+        # scan→exchange→window subplan across the two consumers — the
+        # round-7 plan audit showed the input scanned and windowed twice
+        # (the llm_corpus_pipeline materialization hazard, same fix:
+        # localCheckpoint, the CC loop's precedent). Zipf-100M audit:
+        # 97.0s → re-measured after this change in SCALING.md round 7
+        .localCheckpoint(eager=False)
     )
     summary = flagged.groupBy(key, "_sb_b").agg(
         F.min(us_col).alias("_sb_first_us"),

@@ -154,7 +154,7 @@ def rolling_window_agg_bucketed(
             f"row_bucket ({row_bucket}) must be >= seq_len ({seq_len}): "
             "context replication only reaches one bucket back"
         )
-    tmp = ("_rb_vb", "_rb_lrn", "_rb_n", "_rb_off", "_rb_g", "_rb_ctx", "rn")
+    tmp = ("_rb_vb", "_rb_lrn", "_rb_n", "_rb_off", "_rb_g", "_rb_ctx", "_rb_t", "rn")
     clash = [c for c in df.columns if c in tmp]
     if clash:
         raise ValueError(
@@ -166,22 +166,34 @@ def rolling_window_agg_bucketed(
     vb = F.expr(
         f"(`{us_col}` - pmod(`{us_col}`, {int(value_bucket)})) div {int(value_bucket)}"
     )
-    w_in = Window.partitionBy(key, "_rb_vb").orderBy(us_col, id_col)
-    local = df.withColumn("_rb_vb", vb).withColumn(
-        "_rb_lrn", F.row_number().over(w_in).cast("long")
+    # per-(key, value-bucket) counts come from the RAW scan — a plain
+    # partial-aggregated groupBy, no window, no sort — so the windowed
+    # `local` relation below has exactly ONE consumer and nothing big is
+    # ever computed twice (round-7 plan audit: the first cut derived
+    # counts from `local`, which re-scanned and re-windowed the input;
+    # a localCheckpoint fixed the duplication but cost more than it
+    # saved at 100M — materializing 2x100M rows and losing the window's
+    # partitioning, 121 -> 230s — so the fix is structural instead)
+    counts = (
+        df.withColumn("_rb_vb", vb)
+        .groupBy(key, "_rb_vb")
+        .agg(F.count(F.lit(1)).alias("_rb_n"))
     )
-    counts = local.groupBy(key, "_rb_vb").agg(F.count(F.lit(1)).alias("_rb_n"))
     w_b = (
         Window.partitionBy(key)
         .orderBy("_rb_vb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # per-(key, value-bucket) summary: tiny relation, its per-key window
+    # tiny relation: one row per (key, value-bucket); its per-key window
     # is over bucket COUNTS, never rows. Plain equi-join back (not
     # broadcast): big side already carries (key, _rb_vb) partitioning
     offsets = counts.withColumn(
         "_rb_off", F.sum("_rb_n").over(w_b) - F.col("_rb_n")
     ).select(key, "_rb_vb", "_rb_off")
+    w_in = Window.partitionBy(key, "_rb_vb").orderBy(us_col, id_col)
+    local = df.withColumn("_rb_vb", vb).withColumn(
+        "_rb_lrn", F.row_number().over(w_in).cast("long")
+    )
     withrn = (
         local.join(offsets, [key, "_rb_vb"])
         .withColumn("rn", F.col("_rb_lrn") + F.col("_rb_off"))
@@ -189,18 +201,26 @@ def rolling_window_agg_bucketed(
     )
     b = int(row_bucket)
     g = F.expr(f"(rn - 1) div {b}")
-    own = withrn.withColumn("_rb_g", g).withColumn("_rb_ctx", F.lit(0))
-    ctx = (
-        withrn.filter(F.expr(f"pmod(rn - 1, {b})") >= b - (seq_len - 1))
-        .withColumn("_rb_g", g + 1)
-        .withColumn("_rb_ctx", F.lit(1))
+    # own row + (boundary rows only) a context replica for bucket g+1,
+    # emitted by ONE narrow explode — not a union of two filtered reads
+    # of the same subplan, which would execute the whole upstream twice
+    own_tag = F.struct(g.alias("g"), F.lit(0).alias("ctx"))
+    ctx_tag = F.struct((g + 1).alias("g"), F.lit(1).alias("ctx"))
+    tags = F.when(
+        F.expr(f"pmod(rn - 1, {b})") >= b - (seq_len - 1),
+        F.array(own_tag, ctx_tag),
+    ).otherwise(F.array(own_tag))
+    out = (
+        withrn.withColumn("_rb_t", F.explode(tags))
+        .withColumn("_rb_g", F.col("_rb_t.g"))
+        .withColumn("_rb_ctx", F.col("_rb_t.ctx"))
+        .drop("_rb_t")
     )
     frame = (
         Window.partitionBy(key, "_rb_g")
         .orderBy("rn")
         .rowsBetween(-(seq_len - 1), Window.currentRow)
     )
-    out = own.unionByName(ctx)
     for name, expr in agg_exprs.items():
         out = out.withColumn(name, expr.over(frame))
     out = out.filter(F.col("_rb_ctx") == 0).drop("_rb_g", "_rb_ctx")

@@ -12,8 +12,9 @@ carry-in per row-bucket) bound every partition by construction.
 Builds ONE series of N rows (uniform 3us spacing) at N = 1M / 10M /
 100M under .bench_rolling/ (git-ignored, deletable) and measures both
 forms; equality is asserted at 1M (the pytest battery covers the edge
-corpora). min-of-2 warm at 1M/10M; single run at 100M (the plain form
-alone is minutes there — the point of the audit).
+corpora). min-of-2 warm everywhere — round-7 follow-up measurements
+showed single cold runs at 100M carry +/-2x page-cache noise, so a
+plain-form 100M pair is ~12 min; use --only to split across invocations.
 
 Usage: python tools/bench_rolling_bucketed.py [--only w1|a2] [N ...]
 (default decades: 1000000 10000000 100000000; --only splits the 100M
@@ -102,7 +103,7 @@ def main() -> None:
     sizes = [int(a) for a in argv] or [1_000_000, 10_000_000, 100_000_000]
     for n in sizes:
         df = spark.read.parquet(build(n))
-        runs = 2 if n < 100_000_000 else 1
+        runs = 2
         for label, fn, col in (
             ("plain  W1", plain_agg, "w_avg"),
             ("bucket W1", buck_agg, "w_avg"),
