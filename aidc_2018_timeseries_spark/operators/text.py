@@ -382,7 +382,7 @@ def boilerplate_fraction(
 def heavy_hitters_mg(
     df,
     col: str,
-    k: int = 50,
+    k: int | None = 50,
     n_counters: int = 200,
 ):
     """Approximate heavy hitters via per-partition Misra-Gries summaries —
@@ -406,7 +406,12 @@ def heavy_hitters_mg(
     hence no static SQL oracle; the bound is pinned in pytest.
 
     Output: exactly min(k, #surviving terms) rows (term, est_count),
-    ordered (est desc, term asc) for a deterministic cut.
+    ordered (est desc, term asc) for a deterministic cut. ``k=None``
+    returns the FULL merged summary (<= n_counters x partitions rows,
+    no global sort) — the eval face joins it against exact counts to
+    certify the no-missed-heavy-hitter guarantee, where a top-k
+    ``orderBy().limit()`` would both truncate the evidence and force a
+    TakeOrderedAndProject over an unbounded k.
     """
     import pandas as pd
 
@@ -432,12 +437,10 @@ def heavy_hitters_mg(
             )
 
     summaries = df.select(col).mapInPandas(mg, schema=f"{col} string, mg_count long")
-    return (
-        summaries.groupBy(col)
-        .agg(F.sum("mg_count").alias("est_count"))
-        .orderBy(F.desc("est_count"), F.asc(col))
-        .limit(k)
-    )
+    merged = summaries.groupBy(col).agg(F.sum("mg_count").alias("est_count"))
+    if k is None:
+        return merged
+    return merged.orderBy(F.desc("est_count"), F.asc(col)).limit(k)
 
 
 def fim_transform(text: Column | str, doc_id: Column | str) -> Column:

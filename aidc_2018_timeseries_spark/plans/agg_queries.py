@@ -73,7 +73,8 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_distinct_users",
     None,  # HLL sketch: engine-specific estimates can't hash-match an oracle
     doc="HyperLogLog distinct users per event type (rows-only; relative "
-    "error vs exact pinned in tests)",
+    "error vs exact pinned in tests AND driver-hash-certified by the "
+    "agg_approx_distinct_eval scorecard face)",
 )
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -160,6 +161,7 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx_percentiles",
     None,  # KLL-style sketch: engine-specific estimates can't hash-match
+    # (rank-error bound driver-certified by agg_approx_percentiles_eval)
     doc="approximate percentiles per event type (percentile_approx "
     "sketch -- the mergeable, bounded-memory scale path next to the "
     "exact interpolated face agg_value_percentiles; closeness to exact "
@@ -291,7 +293,8 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_hll_sketch_rollup",
     None,  # Datasketches HLL estimates are engine-specific — rows-only;
     # the merge-lossless property and the error bound are pinned in
-    # tests/test_agg_sketches.py
+    # tests/test_agg_sketches.py; estimate-vs-exact closeness is driver-
+    # hash-certified by agg_hll_rollup_eval
     doc="MERGEABLE-sketch rollup (the sketch analogue of "
     "events_rollup_daily_from_hourly): per-(type, 6h-bucket) HLL sketches "
     "built in one scan, then the PER-TYPE distinct-user estimate derived "
@@ -538,4 +541,168 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to_type",
         "n",
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-quality scorecards (round-7): the three approximate aggregates above
+# are rows-only BY DESIGN (engine-specific estimates can't hash-match an
+# oracle), which left them the last operators whose output QUALITY the driver
+# never verified. These eval faces close that gap with the knn_*_eval /
+# dedup_minhash_eval pattern: the Spark side scores its own sketch against
+# the EXACT answer it also computes, and emits only engine-agnostic facts —
+# exact counts plus an integer pass-flag whose truth is guaranteed by the
+# sketch's published error bound (with documented margin) — so DuckDB can
+# reproduce every emitted byte without reproducing the sketch.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_approx_distinct_eval",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           CAST(1 AS BIGINT) AS within_3pct
+    FROM events GROUP BY event_type
+    """,
+    doc="HLL quality scorecard, ORACLE-CHECKED (the eval-face pattern "
+    "applied to agg_approx_distinct_users): approx_count_distinct at "
+    "rsd=0.02 scored per event type against the exact distinct count "
+    "computed in the SAME aggregate — emits (exact_users, within_3pct) "
+    "where the 3% bound is 1.5 standard deviations of margin over the "
+    "sketch's 2% rsd (measured max rel-err: 0.0 at sf0.01, 0.4% at "
+    "sf0.1; HLL register-max merging is partition-order-insensitive, so "
+    "the flag is deterministic). One scan, one (type)-keyed shuffle "
+    "carrying both the sketch partials and the countDistinct expand — "
+    "at 100 TB you would drop the exact arm and trust the certified "
+    "sketch; this face is the certification run",
+)
+def agg_approx_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    # integer-exact bound check: |approx - exact| * 100 <= 3 * exact
+    ok = (
+        F.abs(F.col("approx") - F.col("exact_users")) * 100
+        <= F.col("exact_users") * 3
+    )
+    return g.select(
+        "event_type",
+        "exact_users",
+        ok.cast("long").alias("within_3pct"),
+    )
+
+
+_PCT_EVAL_PCTS = [0.5, 0.95, 0.99]
+_PCT_EVAL_ACCURACY = 10000
+
+
+@register(
+    "agg_approx_percentiles_eval",
+    """
+    SELECT e.event_type, p.pct, COUNT(*) AS n,
+           CAST(1 AS BIGINT) AS within_rank_bound
+    FROM events e
+    CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]::DOUBLE[]) AS pct) AS p
+    GROUP BY e.event_type, p.pct
+    """,
+    doc="percentile-sketch quality scorecard, ORACLE-CHECKED: each "
+    "(event_type, pct) value returned by percentile_approx(accuracy="
+    f"{_PCT_EVAL_ACCURACY}) is rank-audited against the raw data — the "
+    "exact ranks bracketing the returned value must contain the target "
+    "rank pct*n within slack 2*n/accuracy + 1 (double the published "
+    "eps=1/accuracy rank-error guarantee, because Greenwald-Khanna "
+    "merge order varies with partition layout while the BOUND does not; "
+    "measured worst miss 0.985e-4*n at sf0.1, inside the 1e-4 single-"
+    "summary guarantee). Emits engine-agnostic (n, flag) only. The "
+    "rank audit is one broadcast join of the 15-row sketch output "
+    "against the events scan — certifying the sketch costs one extra "
+    "scan, after which the sketch alone answers every quantile query "
+    "at 100 TB in bounded memory",
+)
+def agg_approx_percentiles_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pcts = _PCT_EVAL_PCTS
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", pcts, _PCT_EVAL_ACCURACY).alias("a")
+    )
+    flat = ap.select(
+        "event_type", F.posexplode("a").alias("pos", "av")
+    ).select(
+        "event_type",
+        F.element_at(
+            F.array(*[F.lit(p) for p in pcts]), F.col("pos") + 1
+        ).alias("pct"),
+        "av",
+    )
+    ranked = (
+        ev.join(F.broadcast(flat), "event_type")
+        .groupBy("event_type", "pct")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("av")).cast("long")).alias("below"),
+            F.sum((F.col("value") <= F.col("av")).cast("long")).alias("le"),
+        )
+    )
+    target = F.col("pct") * F.col("n")
+    slack = F.lit(2.0) * F.col("n") / _PCT_EVAL_ACCURACY + 1
+    ok = (F.col("below") <= target + slack) & (F.col("le") >= target - slack)
+    return ranked.select(
+        "event_type", "pct", "n", ok.cast("long").alias("within_rank_bound")
+    )
+
+
+@register(
+    "agg_hll_rollup_eval",
+    """
+    WITH b AS (
+      SELECT event_type, user_id,
+             epoch_us(ts) // 21600000000 AS b6h
+      FROM events)
+    SELECT event_type,
+           COUNT(DISTINCT b6h) AS n_buckets,
+           COUNT(DISTINCT user_id) AS exact_users,
+           CAST(1 AS BIGINT) AS within_3pct
+    FROM b GROUP BY event_type
+    """,
+    doc="mergeable-sketch ROLLUP quality scorecard, ORACLE-CHECKED: the "
+    "agg_hll_sketch_rollup path (per-(type, 6h-bucket) hll_sketch_agg, "
+    "then hll_union_agg to per-type estimates — never re-scanning raw "
+    "rows) scored against the exact distinct count; emits (n_buckets, "
+    "exact_users, within_3pct). Bound has 2x margin over the lgK=12 "
+    "sketch's ~1.6% rsd (measured: exact at sf0.01 sparse mode, max "
+    "1.5% at sf0.1). NOTE the honest finding from building this face: "
+    "union-of-bucket-sketches is NOT bit-identical to one directly-"
+    "built sketch once registers densify (measured at sf0.1) — "
+    "estimate-level closeness is the real mergeability contract, and "
+    "that is what this face certifies; the sparse-regime equality is "
+    "pinned separately in tests/test_agg_sketches.py",
+)
+def agg_hll_rollup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr("(ts div 1000) div 21600000000").alias("b6h")
+    hourly = (
+        ev.select("event_type", bucket, "user_id")
+        .groupBy("event_type", "b6h")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    roll = hourly.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    j = roll.join(exact, "event_type")
+    ok = (
+        F.abs(F.col("approx") - F.col("exact_users")) * 100
+        <= F.col("exact_users") * 3
+    )
+    return j.select(
+        "event_type",
+        "n_buckets",
+        "exact_users",
+        ok.cast("long").alias("within_3pct"),
     )
