@@ -23,6 +23,62 @@ def _in_list(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+def _bpe_oracle_rounds(n_merges: int) -> str:
+    """Generate the WITH-clause body that restates ``n_merges`` rounds of
+    BPE training (operators/bpe.py) as UNROLLED plain SQL — the trick that
+    turned the iterative EWMA/backtest recurrences into oracles, applied
+    to the tokenizer trainer.
+
+    Per round i: ``p{i}`` computes the argmax pair over ``v{i-1}``'s
+    symbol column with the pinned (count desc, left asc, right asc) total
+    order — ordering by the space-joined pair string is equivalent because
+    ' ' sorts below every token character, and tokens cannot contain
+    spaces; ``v{i}`` applies the merge as a greedy left-fold
+    (``list_reduce``): fuse when the accumulator's last symbol is `l` and
+    the next is `r`. The fold reproduces the classic left-to-right walk
+    exactly — a freshly fused symbol (l||r) can never equal `l` within the
+    same round (r is non-empty), so no double-fuse flag is needed. DuckDB
+    regexp_replace (RE2) has no lookahead, so Spark's boundary-anchored
+    regex could NOT be transplanted — consecutive-run cases like
+    'a a a a' would diverge; the fold sidesteps regex entirely.
+
+    Fixed-round unrolling presumes the corpus sustains n_merges rounds of
+    pairs (the Spark trainer breaks out early when every word has fused
+    to one symbol; any such corpus would honestly fail row-count).
+    """
+    parts = [
+        f"w AS (SELECT unnest({_TOKS}) AS word FROM documents)",
+        "vocab AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word)",
+        "v0 AS MATERIALIZED (SELECT word,"
+        " array_to_string(string_split(word, ''), ' ')"
+        " AS syms, freq FROM vocab)",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r
+      FROM (
+        SELECT unnest(list_transform(range(1, len(s)),
+                                     j -> s[j] || ' ' || s[j+1])) AS pair,
+               freq
+        FROM (SELECT string_split(syms, ' ') AS s, freq FROM v{i - 1}))
+      GROUP BY pair ORDER BY SUM(freq) DESC, pair ASC LIMIT 1)"""
+        )
+        parts.append(
+            f"""v{i} AS MATERIALIZED (
+      SELECT word, list_reduce(string_split(syms, ' '), (acc, x) ->
+        CASE WHEN x = p.r AND split_part(acc, ' ', -1) = p.l
+             THEN substr(acc, 1, length(acc) - length(p.l)) || p.l || p.r
+             ELSE acc || ' ' || x END) AS syms, freq
+      FROM v{i - 1} CROSS JOIN p{i} p)"""
+        )
+    return ",\n    ".join(parts)
+
+
+_BPE_N_MERGES = 12
+_BPE_ROUNDS = _bpe_oracle_rounds(_BPE_N_MERGES)
+
+
 # --- token statistics ---
 @register(
     "text_token_stats",
@@ -625,9 +681,17 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_train_merges",
-    None,  # iterative argmax loop — not ANSI-SQL-expressible; determinism
-    # and correctness pinned in tests/test_bpe.py by merge-list equality
-    # with an independent pure-Python reference implementation
+    f"""
+    WITH {_BPE_ROUNDS},
+    m AS ({" UNION ALL ".join(
+        f'SELECT {i - 1} AS rank, l, r FROM p{i}'
+        for i in range(1, _BPE_N_MERGES + 1))})
+    SELECT CAST(rank AS BIGINT) AS rank, l AS "left", r AS "right" FROM m
+    """,
+    # ORACLE-CHECKED since round 7: the iterative argmax loop unrolls into
+    # {n} fixed SQL rounds (see _bpe_oracle_rounds) — the EWMA-recurrence
+    # trick applied to tokenizer training; merge-list equality vs the
+    # pure-Python reference stays pinned in tests/test_bpe.py
     doc="distributed BPE tokenizer TRAINING (operators/bpe.py): 12 merge "
     "rounds learned over the corpus, emitted as (rank, left, right). One "
     "corpus pass builds the word vocabulary; every round after that is "
@@ -650,8 +714,19 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_encode_counts",
-    None,  # depends on the iteratively-learned merge list — rows-only;
-    # encode parity vs the reference symbol walk pinned in tests/test_bpe.py
+    f"""
+    WITH {_BPE_ROUNDS},
+    enc AS (SELECT word, len(string_split(syms, ' ')) AS nsw
+            FROM v{_BPE_N_MERGES}),
+    dw AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)
+    SELECT dw.doc_id, COUNT(*) AS n_words,
+           CAST(SUM(e.nsw) AS BIGINT) AS n_subwords
+    FROM dw JOIN enc e USING (word)
+    GROUP BY dw.doc_id
+    """,
+    # ORACLE-CHECKED since round 7: re-learns the merge list via the same
+    # unrolled rounds, then v12 IS the encoded vocabulary — the join-back
+    # mirrors the Spark encode shape exactly
     doc="BPE ENCODING under the learned tokenizer (the apply half of "
     "text_bpe_train_merges): per document, whitespace word count and the "
     "subword count after the 12 learned merges. The corpus-scale shape "

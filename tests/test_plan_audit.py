@@ -31,6 +31,12 @@ load_all()
 #: each has an LSH/IVF bucketed sibling as the scale path.
 _NESTED_LOOP_OK = {
     "knn_brute_force",  # scale path: knn_ivf / knn_rp_lsh
+    # The ANN quality scorecards compose brute_force_topk as ground truth
+    # (that is their whole point: certify the approximate path against the
+    # exact one), so they inherit its allowlisted BNLJ; at 100 TB they run
+    # on a sampled stratum per their docstrings.
+    "knn_ivf_eval",
+    "knn_rp_lsh_eval",
     "knn_ivf",  # centroid assignment broadcasts the centroid set
     # k-means assignment: the broadcast side is the k-centroid table
     # (k × dim values — constant-size at any corpus scale); every vector
@@ -41,6 +47,10 @@ _NESTED_LOOP_OK = {
     # aggregate (sum/count of balances) — a constant-size build side at any
     # data scale, exactly how engines plan uncorrelated scalar subqueries.
     "q22_dormant_rich_customers",
+    # Same scalar-subquery shape: every nested-loop side is a broadcast
+    # 1-row aggregate (corpus token total; the 1-row missed/violation
+    # scorecard counts) — constant-size build sides at any corpus scale.
+    "text_heavy_hitters_eval",
 }
 
 
