@@ -29,8 +29,17 @@ from pyspark.sql import types as T
 
 def trailing_mean_predictor(window: np.ndarray) -> float:
     """Default next-point predictor: mean of the window (deterministic,
-    dependency-free). Swap in tcn.tcn_forward for model-based generation."""
-    return float(window.mean())
+    dependency-free). Swap in tcn.tcn_forward for model-based generation.
+
+    Summed as an explicit LEFT FOLD, not np.mean: numpy's pairwise
+    summation has a different op order, and the W14 oracle reproduces
+    this mean bit-for-bit in DuckDB via list_reduce (sequential
+    left-to-right, and fold-from-first == fold-from-0.0 since
+    0.0 + x == x exactly)."""
+    total = 0.0
+    for v in window:
+        total += float(v)
+    return total / window.shape[0]
 
 
 def tcn_predictor(weights) -> Callable[[np.ndarray], float]:

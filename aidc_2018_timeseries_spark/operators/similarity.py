@@ -284,6 +284,28 @@ def hyperplane_rows(
     ]
 
 
+def hyperplane_rows_stable(
+    dim: int, n_tables: int, n_bits: int, seed: int = 7
+) -> list[tuple[int, int, list[float]]]:
+    """PREFIX-STABLE sibling of :func:`hyperplane_rows`: plane (t, b)
+    depends only on (seed, t, b), never on ``n_bits`` — each plane draws
+    from its own ``RandomState([seed, t, b])`` instead of one shared
+    stream. This is what lets a CORPUS-SCALED bit count be oracle-checked:
+    the static SQL inlines the planes for a maximum bit budget once, and
+    masking ``bit_idx < n_bits`` reproduces exactly the planes the Spark
+    side generated for the data-derived ``n_bits``, because the first k
+    planes of any budget are identical. The original generator cannot do
+    this (its single RNG stream re-deals every plane when n_bits changes).
+    """
+    import numpy as np
+
+    return [
+        (t, b, [float(x) for x in np.random.RandomState([seed, t, b]).randn(dim)])
+        for t in range(n_tables)
+        for b in range(n_bits)
+    ]
+
+
 def lsh_signatures(
     vectors: DataFrame,
     planes: list[tuple[int, int, list[float]]],
@@ -325,6 +347,7 @@ def embedding_lsh_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     arrow: bool = False,
+    planes: list[tuple[int, int, list[float]]] | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs, LSH-bucketed: candidates = vectors
     sharing any table's sign-bucket (equi-join on (table_id, bucket) over
@@ -344,11 +367,15 @@ def embedding_lsh_dup_pairs(
     baseline in tests/test_similarity.py. ``arrow=True`` computes
     signatures as a batched GEMM (the scale path); the default expression
     form stays bit-reproducible for the DuckDB oracle.
+    ``planes`` overrides the generated hyperplanes (n_tables/seed/dim are
+    then ignored) — the corpus-scaled catalog face passes prefix-stable
+    planes so its data-derived bit count remains oracle-checkable.
     Output: (id_a, id_b, sim), id_a < id_b.
     """
-    if n_bits is None:
-        n_bits = scaled_n_bits(vectors.count())
-    planes = hyperplane_rows(dim, n_tables, n_bits, seed)
+    if planes is None:
+        if n_bits is None:
+            n_bits = scaled_n_bits(vectors.count())
+        planes = hyperplane_rows(dim, n_tables, n_bits, seed)
     sig_fn = lsh_signatures_arrow if arrow else lsh_signatures
     sig = sig_fn(vectors, planes, id_col, vec_col)
     cand = (

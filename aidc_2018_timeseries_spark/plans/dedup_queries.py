@@ -15,6 +15,7 @@ from aidc_2018_timeseries_spark.operators import dedup as dd
 from aidc_2018_timeseries_spark.operators.similarity import (
     embedding_lsh_dup_pairs,
     hyperplane_rows,
+    hyperplane_rows_stable,
 )
 from aidc_2018_timeseries_spark.operators.graph import connected_components
 from aidc_2018_timeseries_spark.operators.text import (
@@ -430,14 +431,73 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_SCALED_MAX_BITS = 12  # oracle plane budget: 64 vecs/bucket * 2^12 ≈ 262k
+
+
+def _embedding_lsh_scaled_oracle() -> str:
+    """The corpus-SCALED variant of _embedding_lsh_oracle: n_bits is
+    data-derived (scaled_n_bits), which a static SQL string can still
+    check because the planes are PREFIX-STABLE (hyperplane_rows_stable —
+    plane (t, b) never depends on the bit budget). The SQL inlines the
+    max-budget plane set once, recomputes the bit-count rule
+    ``greatest(floor, ceil(log2(n/64)))`` from COUNT(*) — exact-parity
+    arithmetic: /64.0 and log2 of exact powers are IEEE-exact in both
+    engines — and masks ``bit_idx < b``. Beyond 64 * 2^{max_bits}
+    vectors the oracle's plane budget is exhausted and the face would
+    honestly mismatch (driver SFs are 3 orders of magnitude below that).
+    """
+    rows = hyperplane_rows_stable(
+        _LSH_DIM, _LSH_TABLES, _LSH_SCALED_MAX_BITS, _LSH_SEED
+    )
+    values = ",\n      ".join(
+        f"({t}, {b}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        for t, b, plane in rows
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    planes(table_id, bit_idx, plane) AS (VALUES
+      {values}),
+    nb AS (SELECT GREATEST({_LSH_BITS},
+                    CAST(CEIL(LOG2(GREATEST(COUNT(*), 2) / 64.0)) AS INT))
+             AS b FROM v),
+    sig AS (
+      SELECT v.vec_id, p.table_id,
+             CAST(SUM(CASE WHEN ROUND(list_dot_product(v.e, p.plane), 6) > 0
+                           THEN (CAST(1 AS BIGINT) << p.bit_idx) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM v CROSS JOIN planes p, nb WHERE p.bit_idx < nb.b
+      GROUP BY v.vec_id, p.table_id),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CASE WHEN list_dot_product(va.e, va.e) > 0
+                   AND list_dot_product(vb.e, vb.e) > 0 THEN
+               ROUND(list_dot_product(va.e, vb.e)
+                     / (SQRT(list_dot_product(va.e, va.e))
+                        * SQRT(list_dot_product(vb.e, vb.e))), 6) END AS sim
+      FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b)
+    SELECT id_a, id_b, sim FROM scored WHERE sim >= {_LSH_THRESHOLD}
+    """
+
+
 @register(
     "dedup_embedding_lsh_scaled",
-    None,  # corpus-derived n_bits can't be inlined into a static oracle →
-    # rows-only; the fixed-bits sibling above carries the exact-value check
+    _embedding_lsh_scaled_oracle(),
     doc="corpus-scaled sign-LSH near-dup pairs: n_bits targets ~64 vectors/"
     "bucket and signatures run as Arrow GEMM — the deployment shape of "
     "dedup_embedding_lsh, whose fixed n_bits is quadratic as the corpus "
-    "grows (SCALING.md round-4 audit: 15s→300s over one decade)",
+    "grows (SCALING.md round-4 audit: 15s→300s over one decade). "
+    "ORACLE-CHECKED since round 7 (previously rows-only 'corpus-derived "
+    "n_bits can't be inlined'): prefix-stable hyperplanes make the "
+    "data-derived bit count maskable against one inlined max-budget "
+    "plane set (see _embedding_lsh_scaled_oracle), so the driver hash "
+    "now certifies the SCALING RULE and the GEMM signature path, not "
+    "just the fixed-bits baseline. GEMM-vs-expression sign parity holds "
+    "with measured margin (min |dot| 2.7e-5 at sf0.01 vs the 5e-7 "
+    "rounding boundary; bucket equality pinned in tests)",
 )
 def dedup_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aidc_2018_timeseries_spark.operators.similarity import scaled_n_bits
@@ -447,10 +507,7 @@ def dedup_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_dup_pairs(
         e,
         threshold=_LSH_THRESHOLD,
-        n_tables=_LSH_TABLES,
-        n_bits=bits,
-        seed=_LSH_SEED,
-        dim=_LSH_DIM,
+        planes=hyperplane_rows_stable(_LSH_DIM, _LSH_TABLES, bits, _LSH_SEED),
         arrow=True,
     )
 

@@ -114,19 +114,67 @@ def pyds_adding_problem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- W14: autoregressive generation (non-SQL — rows-only check) ---
+# --- W14: autoregressive generation with the trailing-mean predictor ---
+def _w14_mean_oracle(seq_len: int = 10, n_steps: int = 5) -> str:
+    """Unroll the generate loop (seed window → predict mean → slide →
+    feed back) into ``n_steps`` chained CTEs — the BPE-unroll trick
+    applied to W14's general predictor. The trailing mean is a
+    sequential left-fold sum / seq_len in BOTH engines (see
+    ml/autoregressive.trailing_mean_predictor), so the fed-back doubles
+    are bit-identical at every step and only the emitted values round."""
+    steps = []
+    for i in range(1, n_steps + 1):
+        prev = "w0" if i == 1 else f"w{i - 1}"
+        preds = "[p]" if i == 1 else "preds || [p]"
+        steps.append(
+            f"""g{i} AS (SELECT user_id, tail, w,
+        {"" if i == 1 else "preds, "}list_reduce(w, (a, x) -> a + x)
+          / {float(seq_len)}::DOUBLE AS p FROM {prev}),
+    w{i} AS (SELECT user_id, tail, w[2:] || [p] AS w, {preds} AS preds
+             FROM g{i})"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH e AS (SELECT user_id, value, ts, event_id FROM events),
+    s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+          FROM e GROUP BY user_id),
+    t AS (SELECT user_id,
+                 vals[greatest(len(vals) - {seq_len + n_steps} + 1, 1):] AS tail
+          FROM s WHERE len(vals) >= {seq_len + 1}),
+    w0 AS (SELECT user_id, tail, tail[1:{seq_len}] AS w FROM t),
+    {chain}
+    SELECT user_id, CAST(i AS INT) AS step,
+           ROUND(preds[i], 6) AS generated,
+           ROUND(CASE WHEN {seq_len} + i <= len(tail)
+                      THEN tail[{seq_len} + i]
+                      ELSE 'NaN'::DOUBLE END, 6) AS actual
+    FROM w{n_steps}, unnest(range(1, {n_steps + 1})) AS u(i)
+    """
+
+
 @register(
     "w14_autoregressive_generation",
-    None,  # sequential per series; excluded from the SQL-oracle suite (SURVEY §7)
+    _w14_mean_oracle(),
     doc="W14 autoregressive generation: seed window → predict → slide → "
-    "feed back, per series via applyInPandas (parallel across series)",
+    "feed back, per series via applyInPandas (parallel across series). "
+    "ORACLE-CHECKED since round 7 (previously rows-only 'sequential per "
+    "series'): with the default trailing-mean predictor the loop unrolls "
+    "into 5 fixed SQL rounds (see _w14_mean_oracle) — the identity-"
+    "predictor fixed point and the TCN closed form were rounds 4/7's "
+    "steps; this closes the LAST W14 variant. Missing actuals emit NaN "
+    "on both sides; output rounds at 6 dp, feedback stays unrounded",
 )
 def w14_autoregressive_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aidc_2018_timeseries_spark.ml.autoregressive import autoregressive_generate
 
-    ev = load_table(spark, sf_dir, "events")
-    return autoregressive_generate(
-        ev, "user_id", ["ts", "event_id"], "value", seq_len=10, n_steps=5
+    out = autoregressive_generate(
+        load_table(spark, sf_dir, "events"),
+        "user_id", ["ts", "event_id"], "value", seq_len=10, n_steps=5,
+    )
+    return out.select(
+        "user_id", "step",
+        F.round("generated", 6).alias("generated"),
+        F.round("actual", 6).alias("actual"),
     )
 
 

@@ -18,15 +18,65 @@ from aidc_2018_timeseries_spark.sources.tables import load_table
 from aidc_2018_timeseries_spark.streaming.stateful import ewma_anomaly_batch
 
 
+def _ewma_state_fold(prefix_upper: str) -> str:
+    """DuckDB expression: the (n, var, mean) EWMA state after folding the
+    per-user value prefix ``evs[1:<prefix_upper>]`` — the list_reduce twin
+    of streaming/stateful._ewma_step's loop, op-for-op (delta vs the OLD
+    mean; var update before mean update). Field order in the struct is
+    load-bearing: DuckDB's struct-accumulator list_reduce assigns fields
+    IN PLACE sequentially, so each field's expression may only read
+    accumulator fields not yet assigned ('n', then 's' reading old a.m /
+    a.s, then 'm') — an ordering that is also correct under snapshot
+    semantics, so the oracle does not depend on the quirk."""
+    return f"""list_reduce(
+               list_transform(evs[1:{prefix_upper}],
+                              e2 -> {{'n': 1, 's': 0.0::DOUBLE, 'm': e2.x}}),
+               (a, b) -> {{'n': a.n + 1,
+                           's': (1.0::DOUBLE - 0.1::DOUBLE)
+                                * (a.s + 0.1::DOUBLE * (b.m - a.m)
+                                             * (b.m - a.m)),
+                           'm': a.m + 0.1::DOUBLE * (b.m - a.m)}})"""
+
+
 @register(
     "streaming_ewma_anomaly",
-    None,
+    f"""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, value
+               FROM events),
+    g AS (SELECT user_id,
+                 list(struct_pack(eid := event_id, t := t_us, x := value)
+                      ORDER BY t_us, event_id) AS evs
+          FROM e GROUP BY user_id),
+    r AS (SELECT user_id, evs[i] AS ev, i,
+                 {_ewma_state_fold("i")} AS fs,
+                 CASE WHEN i >= 3 THEN {_ewma_state_fold("i - 1")} END AS ps
+          FROM g, unnest(range(1, len(evs) + 1)) AS u(i))
+    SELECT user_id, ev.eid AS event_id, ev.t AS ts, ev.x AS value,
+           ROUND(fs.m, 6) AS ewma,
+           CASE WHEN i >= 3
+                THEN abs(ev.x - ps.m) > 3.0::DOUBLE * sqrt(ps.s)
+                ELSE FALSE END AS is_anomaly
+    FROM r
+    """,
     doc="per-user EWMA anomaly flags (batch face of the "
-    "applyInPandasWithState streaming operator; rows-only check)",
+    "applyInPandasWithState streaming operator) — ORACLE-CHECKED since "
+    "round 7: the per-row running recurrence restates as a per-prefix "
+    "struct fold (see _ewma_state_fold), the ewma_final_fold trick "
+    "extended from final values to every intermediate state. The oracle "
+    "is quadratic per series (fine at driver SF; the Spark side stays "
+    "the linear single pass). Both engines fold identical doubles in "
+    "identical op order, so flags and 6-dp means match exactly; the "
+    "anomaly test uses the state BEFORE each point (i >= 3 <=> two "
+    "prior points). Time runs in the µs domain with event_id tie-break "
+    "on both sides (ns-precision ts would be unorderable cross-engine: "
+    "DuckDB's parquet reader floors ns to µs)",
 )
 def streaming_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    return ewma_anomaly_batch(ev, alpha=0.1, k=3.0)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts"), "value"
+    )
+    out = ewma_anomaly_batch(ev, alpha=0.1, k=3.0)
+    return out.withColumn("ewma", F.round("ewma", 6))
 
 
 @register(

@@ -82,7 +82,11 @@ def _ewma_step(
         n += 1
         out_mean.append(mean)
     out = rows[["user_id", "event_id", "ts", "value"]].copy()
-    out["ewma"] = [round(m, 6) for m in out_mean]
+    # emit UNROUNDED: Python round() is exact-binary half-to-even and
+    # disagrees with SQL ROUND on decimal midpoints (2-dp inputs make
+    # 6-dp midpoints common, not measure-zero); the catalog face rounds
+    # with F.round, the established cross-engine pairing with DuckDB ROUND
+    out["ewma"] = out_mean
     out["is_anomaly"] = out_flag
     return out, n, mean, var
 
