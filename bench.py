@@ -116,6 +116,13 @@ HEADLINE = [
     "knn_rp_lsh_eval",
     "w1_rolling_mean_bucketed",
     "w14_tcn_autoregressive",
+    # added round 7b (subtract when comparing against earlier totals):
+    # the newly oracle-checked conversions — BPE training's 12
+    # driver-loop rounds (iterative-job overhead on the radar), the
+    # per-row EWMA recurrence, and the corpus-scaled GEMM LSH path
+    "text_bpe_train_merges",
+    "streaming_ewma_anomaly",
+    "dedup_embedding_lsh_scaled",
 ]
 
 
