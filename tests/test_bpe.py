@@ -109,3 +109,37 @@ def test_token_counts_consistent(spark):
         assert r.n_subwords == sum(n_sub[w] for w in ws)
         # bounds: full fusion below, character count above
         assert r.n_words <= r.n_subwords <= sum(len(w) for w in ws)
+
+
+def test_duckdb_oracle_fold_matches_reference_on_adversarial_corpus():
+    """The round-7 SQL oracle applies merges as a greedy list_reduce fold;
+    real corpus data exercises few consecutive-run words, so pin the fold
+    against the reference walk on a corpus built of them ('aaaa',
+    alternating pairs, runs adjacent to distinct symbols). DuckDB-only:
+    the oracle must reproduce reference_bpe's merge list byte-for-byte
+    regardless of engine — this is the cross-engine twin of
+    test_repeated_symbol_runs_merge_left_to_right."""
+    import duckdb
+
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+
+    load_all()
+    text = "aaaa aaaa aaaa aaa abababab abababab baab baab baab xaax"
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT 1 AS doc_id, '{text}' AS text"
+    )
+    got = [
+        (l, r)
+        for _, l, r in con.sql(
+            CATALOG["text_bpe_train_merges"].oracle
+        ).fetchall()
+    ]
+    # the planted corpus is lowercase space-separated, so whitespace
+    # split IS the shared tokenization
+    freqs: dict[str, int] = {}
+    for w in text.split():
+        freqs[w] = freqs.get(w, 0) + 1
+    want = reference_bpe(freqs, 12)
+    assert got == want[: len(got)] and len(got) == min(12, len(want))
