@@ -110,6 +110,52 @@ def build_documents_10x() -> Path:
     return d
 
 
+def build_documents_10x_vocab() -> Path:
+    """10 copies with a per-copy word salt ('z' || copy || word): distinct
+    vocabulary grows 10x alongside the corpus — the worst-case (super-
+    Heaps-law) axis for BPE, whose merge rounds are vocab-cost. The salt
+    survives the pipeline's lowercasing tokenizer (digits + lowercase)."""
+    d = OUT / "docs10v"
+    if (d / "documents.parquet").exists():
+        return d
+    d.mkdir(parents=True, exist_ok=True)
+    duckdb.sql(
+        f"COPY (SELECT doc_id + i * 1_000_000 AS doc_id, "
+        f"array_to_string(list_transform("
+        f"list_filter(string_split_regex(text, '\\s+'), w -> w <> ''), "
+        f"w -> 'z' || i || w), ' ') AS text, lang, source, n_chars "
+        f"FROM '{SRC}/documents.parquet' CROSS JOIN range(10) t(i)) "
+        f"TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    shutil.copy(SRC / "embeddings.parquet", d / "embeddings.parquet")
+    print("docs10v documents: 50,000 rows (10 word-salted copies, "
+          "vocab x10)", flush=True)
+    return d
+
+
+def build_documents_vocab(n_words: int) -> Path:
+    """Pure vocab-axis corpus: ``n_words`` DISTINCT 8-char hex words
+    (md5 prefixes), 200 words/doc. The sf0.1 testdata has only 31
+    distinct words, so the copy-based builders can never grow the BPE
+    merge loop's state relation — this one grows nothing else."""
+    d = OUT / f"vocab{n_words // 1000}k"
+    if (d / "documents.parquet").exists():
+        return d
+    d.mkdir(parents=True, exist_ok=True)
+    duckdb.sql(
+        f"COPY (SELECT i // 200 AS doc_id, "
+        f"string_agg(substr(md5(i::VARCHAR), 1, 8), ' ') AS text, "
+        f"'en' AS lang, 'synth' AS source, "
+        f"CAST(9 * 200 AS INT) AS n_chars "
+        f"FROM range({n_words}) t(i) GROUP BY i // 200) "
+        f"TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    shutil.copy(SRC / "embeddings.parquet", d / "embeddings.parquet")
+    print(f"{d.name}: {n_words:,} distinct words, "
+          f"{n_words // 200:,} docs", flush=True)
+    return d
+
+
 def measure(q, name: str, sf_dir: Path, runs: int = 2) -> None:
     walls = []
     rows = None
@@ -154,6 +200,25 @@ def main() -> None:
         d = build_documents_10x()
         measure(q, "llm_corpus_pipeline", d)
         measure(q, "llm_corpus_pipeline_packed", d)
+    if "bpe" in which:
+        # 1x reference walls, then the two 10x regimes: identical copies
+        # (corpus axis — vocab flat, scan 10x) and salted copies (vocab
+        # axis — the merge loop's state relation grows 10x).
+        measure(q, "text_bpe_train_merges", SRC)
+        measure(q, "text_bpe_encode_counts", SRC)
+        d = build_documents_10x()
+        measure(q, "text_bpe_train_merges", d)
+        measure(q, "text_bpe_encode_counts", d)
+        dv = build_documents_10x_vocab()
+        measure(q, "text_bpe_train_merges", dv)
+        measure(q, "text_bpe_encode_counts", dv)
+    if "bpevocab" in which:
+        # the vocab-cost decade proper: 10k -> 100k -> 1M distinct words
+        # (testdata vocab is 31 words; copies cannot grow this axis)
+        for n in (10_000, 100_000, 1_000_000):
+            dv = build_documents_vocab(n)
+            measure(q, "text_bpe_train_merges", dv)
+            measure(q, "text_bpe_encode_counts", dv)
 
 
 if __name__ == "__main__":
