@@ -377,7 +377,14 @@ def embedding_lsh_dup_pairs(
             n_bits = scaled_n_bits(vectors.count())
         planes = hyperplane_rows(dim, n_tables, n_bits, seed)
     sig_fn = lsh_signatures_arrow if arrow else lsh_signatures
-    sig = sig_fn(vectors, planes, id_col, vec_col)
+    # Materialize the signature relation once: Spark does not reuse a
+    # subplan across the two sides of a self-join, so without this the
+    # full-corpus signature scan (the GEMM pass at scale) runs TWICE —
+    # the graph.py oriented-edges pattern. The checkpointed relation is
+    # narrow ((id, table, bucket), n_tables rows/vector), bounded at any
+    # corpus size. Measured at sf0.1: 5.7 -> ~5.2s wall; the win grows
+    # with corpus size because the doubled work is the corpus scan.
+    sig = sig_fn(vectors, planes, id_col, vec_col).localCheckpoint(eager=True)
     cand = (
         sig.alias("a")
         .join(
