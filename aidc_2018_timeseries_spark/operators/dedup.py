@@ -156,9 +156,16 @@ def minhash_candidate_pairs(
         band_structs.append(
             F.struct(F.lit(band).alias("band_id"), band_hash.alias("band_hash"))
         )
-    banded = sigs.select(
-        "doc", F.explode(F.array(*band_structs)).alias("b")
-    ).select("doc", "b.band_id", "b.band_hash")
+    banded = (
+        sigs.select("doc", F.explode(F.array(*band_structs)).alias("b"))
+        .select("doc", "b.band_id", "b.band_hash")
+        # Materialize once: the self-join below would otherwise run the
+        # whole shingle-explode + minhash aggregation TWICE (Spark never
+        # reuses a subplan across self-join sides — the graph.py
+        # oriented-edges / similarity.py signature pattern). The banded
+        # relation is narrow and bounded: num_bands rows per doc.
+        .localCheckpoint(eager=True)
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
