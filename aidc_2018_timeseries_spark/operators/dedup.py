@@ -247,9 +247,17 @@ def ngram_jaccard_candidates(
     verification.
     """
     # Repartition BEFORE the md5 shingle computation: a small-file corpus
-    # otherwise arrives as one scan task and hashes serially.
-    hashed = _spread(df, id_col).select(
-        F.col(id_col).alias("doc"), shingle_hashes(F.col(text_col), n=shingle_n).alias("sh")
+    # otherwise arrives as one scan task and hashes serially. Materialized
+    # once: it feeds the prefix relation AND both sides of the verify
+    # join — without the checkpoint the shingle hashing runs ~4× (Spark
+    # never reuses a subplan across join sides).
+    hashed = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            shingle_hashes(F.col(text_col), n=shingle_n).alias("sh"),
+        )
+        .localCheckpoint(eager=True)
     )
     sh = hashed.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
 
@@ -268,6 +276,10 @@ def ngram_jaccard_candidates(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= prefix_len)
         .select("doc", "n_sh", "rk", "shingle")
+        # Self-joined below — materialize so the two windows compute once.
+        # Bounded: floor((1-t)·|A|)+1 rows per doc (~20% of shingles at
+        # t=0.8), rarest-first.
+        .localCheckpoint(eager=True)
     )
 
     # positional filter (PPJoin, Xiao et al. WWW'08): a match on a prefix
@@ -907,9 +919,16 @@ def ngram_containment_pairs(
     UNROUNDED (exact-integer division is bit-deterministic on both
     engines, rounding can only break parity).
     """
-    hashed = _spread(df, id_col).select(
-        F.col(id_col).alias("doc"),
-        shingle_hashes(F.col(text_col), n=shingle_n).alias("sh"),
+    # Materialized once: feeds the ranked posting relation AND both sides
+    # of the verify join (the jaccard-sibling pattern — without it the
+    # shingle hashing runs ~4× across self-join legs).
+    hashed = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            shingle_hashes(F.col(text_col), n=shingle_n).alias("sh"),
+        )
+        .localCheckpoint(eager=True)
     )
     sh = hashed.select(
         "doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
@@ -920,8 +939,14 @@ def ngram_containment_pairs(
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(eps)) + 1
     ).cast("int")
-    with_rk = sh.withColumn("df", F.count(F.lit(1)).over(wdf)).withColumn(
-        "rk", F.row_number().over(w)
+    # Both the prefix side and the full-postings side derive from this
+    # ranked relation — materialize so its two window shuffles compute
+    # once instead of twice (storage is bounded by the exploded shingle
+    # relation, which the windows already shuffle in full either way).
+    with_rk = (
+        sh.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .withColumn("rk", F.row_number().over(w))
+        .localCheckpoint(eager=True)
     )
     pref = with_rk.filter(F.col("rk") <= prefix_len).select(
         F.col("doc").alias("id_a"),
