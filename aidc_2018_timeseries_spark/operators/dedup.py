@@ -576,9 +576,12 @@ def exact_collapse(
         content_hash(text_col).alias("_chash"),
     )
     w = Window.partitionBy(*keys)
+    # Materialized once: the mapping feeds the reps semi-join here plus
+    # the caller's two expansion joins — three consumers of the
+    # content-hash window. Narrow and doc-count-bounded (id, canonical).
     mapping = hashed.select(
         F.col(id_col), F.min(id_col).over(w).alias("canonical_id")
-    )
+    ).localCheckpoint(eager=True)
     reps = df.join(
         mapping.filter(F.col(id_col) == F.col("canonical_id")).select(id_col),
         id_col,
