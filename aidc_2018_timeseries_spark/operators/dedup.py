@@ -520,11 +520,16 @@ def blocked_edit_distance_pairs(
     )
     block_key = [*(block_cols or []), "_tok1", "_lbucket"]
     if block_size_cap is not None:
+        # Materialized: the capped relation feeds both self-join legs
+        # below, which would otherwise re-run the size aggregate and its
+        # join twice. The uncapped path stays lazy — there a leg recompute
+        # is a narrow parquet re-scan, cheaper than materializing.
         sizes = keyed.groupBy(block_key).count()
         keyed = (
             keyed.join(sizes, block_key)
             .filter(F.col("count") <= block_size_cap)
             .drop("count")
+            .localCheckpoint(eager=True)
         )
     a = keyed.select(
         *block_key,
