@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 from aidc_2018_timeseries_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
+def _spread(df: DataFrame, col: str) -> DataFrame:
+    """Repartition to an EXPLICIT partition count before compute-heavy
+    per-row work (fold dot products, GEMM batches) — the operators/
+    dedup.py pattern. A small-file corpus arrives as ONE scan task (the
+    sf0.1 embeddings table is 0.8 MB), serializing work that is CPU-bound,
+    not byte-bound; and the count must be explicit because AQE sizes
+    partitions by bytes. At real corpus sizes the scan has many partitions
+    and this one narrow shuffle is noise next to the per-row compute."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(col))
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -36,7 +48,7 @@ def brute_force_topk(
     Rank is deterministic: similarity rounded to 6 dp desc, then neighbor
     id asc — float ulp noise cannot flip the ordering.
     """
-    joined = vectors.crossJoin(F.broadcast(queries)).filter(
+    joined = _spread(vectors, id_col).crossJoin(F.broadcast(queries)).filter(
         F.col(id_col) != F.col(query_id_col)
     )
     sim = F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
@@ -68,7 +80,7 @@ def assign_centroids(
     One scan over the corpus; output is the inverted file — at scale you
     write it back partitioned/bucketed by centroid_id so probes prune files.
     """
-    joined = vectors.crossJoin(F.broadcast(centroids))
+    joined = _spread(vectors, id_col).crossJoin(F.broadcast(centroids))
     sim = F.round(cosine_similarity(F.col(vec_col), F.col(centroid_vec_col)), 6)
     return (
         joined.select(F.col(id_col), F.col(vec_col), F.col(centroid_id_col), sim.alias("csim"))
@@ -316,25 +328,52 @@ def lsh_signatures(
     bigint bucket key. Cosine-LSH property: P[bit match] = 1 − θ/π, so
     similar vectors collide in some table with high probability.
 
-    Plan shape: the planes are CONSTANTS, so they are inlined as literal
-    array expressions — the signature is computed scan-locally inside
-    whole-stage codegen with NO join and NO shuffle (explode over a
-    per-table struct array is narrow). The sign test uses the 6-dp-rounded
-    dot product so a 1-ulp cross-engine difference cannot flip a bit."""
+    Plan shape: the planes are DATA, not code — a per-table relation
+    (table_id, shifts, plane matrix), n_tables rows, BROADCAST against
+    the vector scan; each (vector, table) row evaluates one compact
+    higher-order fold over the plane arrays. No shuffle of the corpus,
+    no explode. This replaced two measured pathologies of the original
+    inlined-literal form (SCALING.md round-7, identical output all the
+    way): n_tables × n_bits expression copies crossed the JVM's
+    JIT-compilable method size, so tasks ran in the bytecode interpreter
+    (18.6s vs 0.7s at 16×5×64); and PySpark expands ``F.lit`` per
+    element, so the ~5k-literal tree cost ~48k py4j round-trips ≈ 7-10s
+    of DRIVER time per plan construction. The arithmetic is REPLACED BY
+    NOTHING: the same zip_with cast-multiply, the same left-fold add in
+    element order, the same 6-dp-rounded sign test and bit-shift
+    accumulation in bit order — bit-identical buckets (A/B-verified
+    across sf0.01/sf0.1 and both plane configurations), so the
+    DuckDB-oracle contract is unchanged."""
+    spark = vectors.sparkSession
     per_table: dict[int, list[tuple[int, list[float]]]] = {}
     for t, b, plane in planes:
         per_table.setdefault(t, []).append((b, plane))
-    structs = []
-    for t in sorted(per_table):
-        bucket = F.lit(0).cast("long")
-        for b, plane in sorted(per_table[t]):
-            const = F.array(*[F.lit(x) for x in plane])
-            bit = (F.round(dot(F.col(vec_col), const), 6) > 0).cast("long")
-            bucket = bucket + bit * F.lit(1 << b)
-        structs.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
-    return vectors.select(
-        F.col(id_col), F.explode(F.array(*structs)).alias("_sig")
-    ).select(id_col, F.col("_sig.table_id").alias("table_id"), F.col("_sig.bucket").alias("bucket"))
+    rows = [
+        (t, [1 << b for b, _ in sorted(ps)], [p for _, p in sorted(ps)])
+        for t, ps in sorted(per_table.items())
+    ]
+    pl = spark.createDataFrame(
+        rows, "table_id int, shifts array<bigint>, planes array<array<double>>"
+    )
+
+    def _step(acc, j):
+        prods = F.zip_with(
+            F.col(vec_col), F.element_at(F.col("planes"), j),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        )
+        d = F.aggregate(prods, F.lit(0.0), lambda a, v: a + v)
+        return acc + F.when(
+            F.round(d, 6) > 0, F.element_at(F.col("shifts"), j)
+        ).otherwise(F.lit(0).cast("long"))
+
+    bucket = F.aggregate(
+        F.sequence(F.lit(1), F.size("shifts")), F.lit(0).cast("long"), _step
+    )
+    return (
+        _spread(vectors, id_col)
+        .crossJoin(F.broadcast(pl))
+        .select(F.col(id_col), F.col("table_id"), bucket.alias("bucket"))
+    )
 
 
 def embedding_lsh_dup_pairs(
@@ -468,7 +507,7 @@ def lsh_signatures_arrow(
                 }
             )
 
-    return vectors.select(id_col, vec_col).mapInPandas(
+    return _spread(vectors, id_col).select(id_col, vec_col).mapInPandas(
         gen, schema=f"{id_col} {id_t}, table_id int, bucket long"
     )
 
