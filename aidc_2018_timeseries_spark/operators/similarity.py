@@ -459,14 +459,15 @@ def lsh_signatures_arrow(
 
     Why both exist: the expression form is bit-reproducible against the
     DuckDB oracle (sequential fold, HALF_UP rounding), so the
-    oracle-checked dedup face keeps it; but its per-row interpreted HOF
-    cost scales with n_tables × n_bits and dominates wall time for the
-    big-table kNN configuration. Signature hashing is a dense GEMM — the
-    textbook case for the Arrow/Pandas-UDF escape hatch (BLAS does
-    batch_rows × 80 × 64 multiply-adds at memory speed). Sign flips vs
-    the JVM fold would need |v·p| within float ulps of the rounding
-    boundary — irrelevant for the rows-only approximate face, and recall
-    is pinned in tests either way.
+    oracle-checked faces keep it; since the round-7 broadcast-relation
+    restructure its wall is within ~2× of this form at the test corpus
+    sizes, but per-FLOP the interpreted fold still loses to BLAS by
+    orders of magnitude — at real corpus scale signature hashing is a
+    dense GEMM (batch_rows × planes × dim multiply-adds at memory
+    speed), the textbook Arrow escape hatch, and this form remains the
+    deployment default. Sign flips vs the JVM fold would need |v·p|
+    within float ulps of the rounding boundary — margins measured 54×
+    that boundary, and bucket equality is pinned in tests.
     """
     import numpy as np
     import pandas as pd
