@@ -33,8 +33,14 @@ def _spread(df: DataFrame, col: str) -> DataFrame:
     projections (md5 hashing). A small-file corpus otherwise arrives as one
     scan task and hashes serially; and the count must be explicit because
     AQE sizes partitions by shuffle BYTES — a few MB of doc text coalesces
-    back to one partition even though the downstream compute is the cost."""
+    back to one partition even though the downstream compute is the cost.
+    CONDITIONAL (round 7): when the input already has at least core-count
+    partitions — the 100 TB case, thousands of scan splits — the
+    repartition would be a pure full-corpus shuffle of document BODIES
+    with nothing to fix, so it is skipped."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, F.col(col))
 
 

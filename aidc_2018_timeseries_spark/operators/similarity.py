@@ -28,9 +28,13 @@ def _spread(df: DataFrame, col: str) -> DataFrame:
     dedup.py pattern. A small-file corpus arrives as ONE scan task (the
     sf0.1 embeddings table is 0.8 MB), serializing work that is CPU-bound,
     not byte-bound; and the count must be explicit because AQE sizes
-    partitions by bytes. At real corpus sizes the scan has many partitions
-    and this one narrow shuffle is noise next to the per-row compute."""
+    partitions by bytes. CONDITIONAL: when the input already has at least
+    core-count partitions (the 100 TB case — thousands of scan splits),
+    the repartition would be a pure full-corpus shuffle of vector bytes
+    with nothing to fix, so it is skipped."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, F.col(col))
 
 
