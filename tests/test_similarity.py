@@ -278,3 +278,56 @@ def test_topk_arrow_path_matches_expression_path(spark):
             for r in fn(v, q, arrow=False, **kw).collect()
         }
         assert gemm == expr, fn.__name__
+
+
+def test_lsh_signature_matches_python_sequential_fold(spark):
+    """The broadcast-relation signature form (round 7) == a pure-Python
+    sequential-fold reference, element for element: left-fold dot in
+    array order, round-half-up at 6 dp, sign test, bit-shift accumulate.
+    This is the construction-level pin behind the oracle contract — the
+    DuckDB hash checks one configuration per face; this checks the
+    arithmetic CONTRACT on several plane shapes, including per-table
+    bit counts that differ (the prefix-stable masked regime)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from aidc_2018_timeseries_spark.operators.similarity import (
+        hyperplane_rows,
+        lsh_signatures,
+    )
+
+    v = load_table(spark, SF_DIR, "embeddings")
+    rows = {r["vec_id"]: list(r["embedding"]) for r in v.collect()}
+
+    def ref_bucket(vec, planes_for_table):
+        bucket = 0
+        for b, plane in sorted(planes_for_table):
+            acc = 0.0
+            for x, y in zip(vec, plane):
+                acc += float(x) * y  # left fold, array order
+            # Spark F.round = BigDecimal(double) HALF_UP at 6 dp: use the
+            # exact binary value, not repr — Decimal(acc) is exact.
+            r = Decimal(acc).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            if r > 0:
+                bucket += 1 << b
+        return bucket
+
+    configs = [
+        hyperplane_rows(64, 3, 4, 11),
+        hyperplane_rows(64, 1, 10, 5),
+        # mixed per-table widths: drop the high bit from table 0 only
+        [p for p in hyperplane_rows(64, 2, 5, 99) if not (p[0] == 0 and p[1] == 4)],
+    ]
+    for planes in configs:
+        per_table = {}
+        for t, b, plane in planes:
+            per_table.setdefault(t, []).append((b, plane))
+        got = {
+            (r["vec_id"], r["table_id"]): r["bucket"]
+            for r in lsh_signatures(v, planes).collect()
+        }
+        want = {
+            (vid, t): ref_bucket(vec, ps)
+            for vid, vec in rows.items()
+            for t, ps in per_table.items()
+        }
+        assert got == want
