@@ -414,10 +414,12 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_lsh",
     _embedding_lsh_oracle(),
     doc="embedding near-dup pairs via sign-LSH buckets + exact cosine "
-    "rescore: scan-local signatures (planes inlined as constants — no join, "
-    "no shuffle), only (table_id, bucket) keys shuffle, corpus never "
-    "self-joined all-pairs. Brute force remains the pytest recall baseline "
-    "(tests/test_similarity.py).",
+    "rescore: signatures via a broadcast join against the tiny per-table "
+    "plane relation (round 7 — plane constants are DATA, not inlined "
+    "code; see operators/similarity.py:lsh_signatures), materialized "
+    "once, then only (table_id, bucket) keys shuffle — the corpus is "
+    "never self-joined all-pairs. Brute force remains the pytest recall "
+    "baseline (tests/test_similarity.py).",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
