@@ -836,3 +836,101 @@ def pq_assign_codes(
         F.col("bc.code").alias("code"),
         F.col("bc.dist").alias("dist"),
     )
+
+
+def ivf_build_persisted(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 8,
+    arrow: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF deployment build: assign vectors to centroids, WRITE the
+    inverted file as a parquet table bucketed on ``centroid_id``, and
+    return the catalog-backed read of it.
+
+    This is the missing half of the round-7 ANN-decade finding (the
+    n × √n assignment GEMM dominates an end-to-end run): a real
+    deployment pays the build ONCE, then every probe batch reads only
+    the probed buckets. Bucketing (not partitionBy) because C ≈ √n at
+    scale means tens of thousands of centroid directories — a
+    small-files problem — while the bucket count stays fixed and bucket
+    pruning serves the probe's ``centroid_id IN (...)`` filter. The
+    ``arrow`` knob mirrors :func:`ivf_topk`: GEMM assignment for the
+    production path, the bit-reproducible expression form for the
+    oracle-checked face (parquet round-trips doubles exactly, so
+    persisted == in-memory assignment bit-for-bit).
+    """
+    from aidc_2018_timeseries_spark.sources.sinks import write_bucketed
+
+    assign = assign_centroids_arrow if arrow else assign_centroids
+    inverted = assign(vectors, centroids, id_col, vec_col)
+    write_bucketed(inverted, table, path, "centroid_id", n_buckets)
+    return vectors.sparkSession.table(table)
+
+
+def ivf_probe_persisted(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 3,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe a PERSISTED inverted file: route each query to its n_probe
+    nearest centroids, then rescore only the vectors in those cells.
+
+    The probed cell ids are collected driver-side and pushed into the
+    index scan as a STATIC ``isin`` filter — this is the query-router
+    shape of a real IVF serving tier (the router holds the centroid
+    table; the collect is bounded at n_queries × n_probe ints, never
+    corpus-sized), and it is what lets Spark prune buckets at the FILE
+    level: the plan's bucketed scan shows SelectedBucketsCount < total
+    (asserted in tests/test_ivf_persisted.py), so a probe touches
+    ~n_probe/C of the corpus on DISK, not just post-scan. Ranking
+    contract (6-dp round, neighbor-id tiebreak, NULL-cosine drop) is
+    identical to :func:`ivf_topk`, so with the expression-form build the
+    persisted path is bit-equal to the in-memory one.
+    """
+    qc = queries.crossJoin(F.broadcast(centroids))
+    qsim = F.round(cosine_similarity(F.col(query_vec_col), F.col("centroid_vec")), 6)
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("qsim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qc.select(
+            F.col(query_id_col), F.col(query_vec_col),
+            F.col("centroid_id"), qsim.alias("qsim"),
+        )
+        .filter(F.col("qsim").isNotNull())
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_probe)
+        .select(query_id_col, query_vec_col, "centroid_id")
+    )
+    # bounded router collect: n_queries × n_probe cell ids
+    cell_ids = sorted(
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    pruned = index.filter(F.col("centroid_id").isin(cell_ids))
+    cand = probes.join(pruned, "centroid_id").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
+    scored = cand.select(
+        F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("sim")
+    ).filter(F.col("sim").isNotNull())
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "sim")
+    )

@@ -532,3 +532,35 @@ def _pq_oracle() -> str:
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings")
     return sim.pq_assign_codes(v, m=_PQ_M, k=_PQ_K)
+
+
+@register(
+    "knn_ivf_persisted_eval",
+    _ivf_eval_oracle(),
+    doc="IVF DEPLOYMENT face (round-7 verdict item 3): same algorithm and "
+    "knobs as knn_ivf_eval, but the inverted file is WRITTEN to a parquet "
+    "table bucketed 8-ways on centroid_id (sinks.write_bucketed) and the "
+    "probe runs against the read-back — the probed cells arrive at the "
+    "scan as a static isin filter, so bucket pruning skips the files of "
+    "unprobed cells (SelectedBucketsCount plan-asserted in "
+    "tests/test_ivf_persisted.py). Shares knn_ivf_eval's oracle verbatim: "
+    "parquet round-trips doubles exactly, so build-once-probe-later must "
+    "produce the bit-identical scorecard — matching hashes prove the "
+    "persisted path adds NO approximation on top of IVF's own. At 100 TB "
+    "the build (n x sqrt(n) GEMM, the measured 100x-decade wall) is paid "
+    "once at ingest; probes decouple (SCALING.md round-8 decade row)",
+)
+def knn_ivf_persisted_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    v = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(v)
+    cents = sim.stride_centroids(v, _IVF_EVAL_STRIDE)
+    path = tempfile.mkdtemp(prefix="aidc_ivf_index_")
+    index = sim.ivf_build_persisted(
+        v, cents, "aidc_ivf_index", path, n_buckets=8, arrow=False
+    )
+    pred = sim.ivf_probe_persisted(
+        index, q, cents, n_probe=_IVF_EVAL_PROBE, k=_K
+    )
+    return _ann_eval(pred, sim.brute_force_topk(v, q, k=_K))

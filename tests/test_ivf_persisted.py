@@ -1,0 +1,85 @@
+"""Persisted IVF index (round-7 verdict item 3): build-once, probe-later.
+
+Three claims the face's docstring makes, pinned here:
+1. the persisted probe is BIT-EQUAL to the in-memory ivf_topk on the
+   expression path (parquet round-trip adds no approximation);
+2. the probe's index scan is a bucketed scan with bucket PRUNING — it
+   selects strictly fewer buckets than the table has (the on-disk
+   n_probe/C story, not just a post-scan filter);
+3. the GEMM (arrow=True) build persists the same inverted file as the
+   expression build — the production path serves the same index.
+"""
+
+from __future__ import annotations
+
+import re
+import tempfile
+
+from pyspark.sql import functions as F
+
+from aidc_2018_timeseries_spark.operators import similarity as sim
+from aidc_2018_timeseries_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+STRIDE, PROBE, K = 50, 3, 5
+
+
+def _frames(spark):
+    v = load_table(spark, SF_DIR, "embeddings")
+    q = v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = sim.stride_centroids(v, STRIDE)
+    return v, q, cents
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_persisted_probe_equals_in_memory(spark):
+    v, q, cents = _frames(spark)
+    path = tempfile.mkdtemp(prefix="aidc_ivf_test_")
+    index = sim.ivf_build_persisted(
+        v, cents, "aidc_ivf_test_idx", path, n_buckets=8, arrow=False
+    )
+    pred = sim.ivf_probe_persisted(index, q, cents, n_probe=PROBE, k=K)
+    ref = sim.ivf_topk(
+        v, q, centroid_stride=STRIDE, n_probe=PROBE, k=K, arrow=False
+    )
+    assert _rows(pred) == _rows(ref)
+
+
+def test_probe_scan_prunes_buckets(spark):
+    v, q, cents = _frames(spark)
+    path = tempfile.mkdtemp(prefix="aidc_ivf_test_")
+    index = sim.ivf_build_persisted(
+        v, cents, "aidc_ivf_test_idx2", path, n_buckets=8, arrow=False
+    )
+    pred = sim.ivf_probe_persisted(index, q, cents, n_probe=PROBE, k=K)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pred.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"index scan is not planned as a pruned bucketed scan:\n{plan}"
+    selected, total = int(m.group(1)), int(m.group(2))
+    assert selected < total, (selected, total)
+    # and the probed-cell filter reaches the parquet reader
+    assert "PushedFilters" in plan or "pushedfilters" in plan.lower()
+
+
+def test_gemm_build_persists_same_index(spark):
+    v, _, cents = _frames(spark)
+    p1 = tempfile.mkdtemp(prefix="aidc_ivf_test_")
+    p2 = tempfile.mkdtemp(prefix="aidc_ivf_test_")
+    a = sim.ivf_build_persisted(
+        v, cents, "aidc_ivf_test_a", p1, n_buckets=8, arrow=False
+    ).select("vec_id", "centroid_id")
+    b = sim.ivf_build_persisted(
+        v, cents, "aidc_ivf_test_b", p2, n_buckets=8, arrow=True
+    ).select("vec_id", "centroid_id")
+    assert _rows(a) == _rows(b)
