@@ -611,16 +611,29 @@ def exact_collapse(
 #: two regimes; both paths are exact, so the gate is a pure compute knob.
 COLLAPSE_REDUNDANCY_THRESHOLD = 0.02
 
+#: mean copies-per-content above which the MinHash-family collapse wins.
+#: The redundancy threshold is the WRONG statistic for this family: the
+#: round-7 crossover audit (SCALING.md skip-gate walls) measured the
+#: collapsed minhash pairs/CC forms overtaking the direct ones only at
+#: ~20-30 copies per content — a corpus of all-doubled docs is 50%
+#: redundant yet the direct form still wins, because the collapse's
+#:   mapping/expansion joins cost more than the C(2,2)·bands bucket rows
+#: they save. Mean group size n/d falls out of the SAME gate aggregate
+#: for free (round-7 verdict item 6).
+MINHASH_COLLAPSE_MEAN_COPIES = 20.0
 
-def exact_dup_redundancy(
+
+def exact_dup_stats(
     df: DataFrame, text_col: str, key_cols: list[str] | None = None
-) -> float:
-    """Skip-gate statistic for the exact-dup pre-collapse (round-6 verdict
-    item 2): the fraction of rows that are redundant exact copies,
-    (n − distinct (content hash, key_cols)) / n — 0.0 on a clean corpus,
-    → 1.0 as copy groups dominate. ONE scan + a map-side-combined
-    count/distinct-count; the ``.first()`` is bounded scalar bookkeeping
-    (one row), the same class as knn_ivf's corpus count.
+) -> tuple[int, int]:
+    """The skip-gate aggregate, shared by every gate statistic:
+    (row count n, distinct (content hash, key_cols) count d). ONE scan +
+    a map-side-combined count/distinct-count; the ``.first()`` is bounded
+    scalar bookkeeping (one row), the same class as knn_ivf's corpus
+    count. Callers composing SEVERAL collapsed operators over one corpus
+    should run this once and pass each operator an explicit
+    ``collapse=`` verdict instead of paying the aggregate per operator
+    (ADVICE r7 item 2).
 
     Keys are packed into a struct so NULL-able ``key_cols`` (e.g. lang)
     count as distinct values rather than being dropped by countDistinct's
@@ -635,7 +648,30 @@ def exact_dup_redundancy(
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("_k").alias("d"))
         .first()
     )
-    return 0.0 if row["n"] == 0 else (row["n"] - row["d"]) / row["n"]
+    return int(row["n"]), int(row["d"])
+
+
+def exact_dup_redundancy(
+    df: DataFrame, text_col: str, key_cols: list[str] | None = None
+) -> float:
+    """Skip-gate statistic for the exact-dup pre-collapse (round-6 verdict
+    item 2): the fraction of rows that are redundant exact copies,
+    (n − d) / n over :func:`exact_dup_stats` — 0.0 on a clean corpus,
+    → 1.0 as copy groups dominate. The right statistic for operators
+    whose collapse overhead is near-fixed (containment, linkage); the
+    MinHash family gates on :func:`exact_dup_mean_copies` instead.
+    """
+    n, d = exact_dup_stats(df, text_col, key_cols)
+    return 0.0 if n == 0 else (n - d) / n
+
+
+def exact_dup_mean_copies(
+    df: DataFrame, text_col: str, key_cols: list[str] | None = None
+) -> float:
+    """Mean exact-copy group size n/d (1.0 on a clean corpus) — the
+    MinHash-family gate statistic (see MINHASH_COLLAPSE_MEAN_COPIES)."""
+    n, d = exact_dup_stats(df, text_col, key_cols)
+    return 1.0 if d == 0 else n / d
 
 
 def corpus_has_exact_dups(
@@ -653,6 +689,7 @@ def ngram_containment_pairs_collapsed(
     threshold: float = 0.9,
     max_df: int | None = None,
     collapse_threshold: float = COLLAPSE_REDUNDANCY_THRESHOLD,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """:func:`ngram_containment_pairs` with :func:`exact_collapse` in
     front — identical output, but the posting join and exact verification
@@ -692,9 +729,15 @@ def ngram_containment_pairs_collapsed(
     — the mapping/expansion joins would collapse (almost) nothing — run
     the direct operator outright (round-6 verdict: the collapse pre-pass
     cost ~0.8s at sf0.1 to collapse 8 pairs). Both paths are exact; the
-    gate is purely a compute knob.
+    gate is purely a compute knob. The tri-state ``collapse`` overrides
+    it: True/False skips the gate aggregate entirely (the DataFrame
+    construction becomes lazy again — ADVICE r7 item 2), so callers
+    composing several collapsed operators over one corpus can pay
+    :func:`exact_dup_stats` once and route all of them.
     """
-    if exact_dup_redundancy(df, text_col) <= collapse_threshold:
+    if collapse is None:
+        collapse = exact_dup_redundancy(df, text_col) > collapse_threshold
+    if not collapse:
         return ngram_containment_pairs(
             df, id_col, text_col, shingle_n, threshold, max_df
         )
@@ -749,7 +792,8 @@ def minhash_candidate_pairs_collapsed(
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_n: int = 3,
-    collapse_threshold: float = COLLAPSE_REDUNDANCY_THRESHOLD,
+    mean_copies_threshold: float = MINHASH_COLLAPSE_MEAN_COPIES,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """:func:`minhash_candidate_pairs` with :func:`exact_collapse` in
     front — identical (id_a < id_b) pair relation, but signatures, band
@@ -776,12 +820,19 @@ def minhash_candidate_pairs_collapsed(
     only, and the copy-quadratic appears solely in the expanded OUTPUT,
     which must be written either way.
 
-    Skip-gate: a (nearly) exact-clean corpus — redundancy ≤
-    ``collapse_threshold`` — runs the direct operator; the collapse would
-    map (almost) every doc to itself and the expansion joins would be
-    pure overhead.
+    Skip-gate (round-7 verdict item 6 — per-FAMILY statistic): the
+    MinHash family gates on mean copy-group size n/d, not redundancy —
+    the measured crossover is ~20-30 copies/content (SCALING.md round-7
+    walls; a 50%-redundant all-doubled corpus still favors the direct
+    form, because the mapping/expansion joins cost more than the few
+    bucket rows a 2-group saves). Tri-state ``collapse`` (True/False)
+    skips the gate aggregate and restores lazy construction (ADVICE r7
+    item 2) — pair it with one shared :func:`exact_dup_stats` call when
+    composing several collapsed operators.
     """
-    if exact_dup_redundancy(df, text_col) <= collapse_threshold:
+    if collapse is None:
+        collapse = exact_dup_mean_copies(df, text_col) > mean_copies_threshold
+    if not collapse:
         return minhash_candidate_pairs(
             df, id_col, text_col, num_hashes, num_bands, shingle_n
         )
@@ -831,7 +882,8 @@ def minhash_components_collapsed(
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_n: int = 3,
-    collapse_threshold: float = COLLAPSE_REDUNDANCY_THRESHOLD,
+    mean_copies_threshold: float = MINHASH_COLLAPSE_MEAN_COPIES,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Connected components over the MinHash candidate graph, with
     :func:`exact_collapse` in front — (node, label) over the SHINGLED
@@ -861,14 +913,18 @@ def minhash_components_collapsed(
     heaviest stage — runs on the unique-content graph, and copies rejoin
     via |members| star edges rather than Σ C(k,2) clique edges.
 
-    Skip-gate: on a (nearly) exact-clean corpus — redundancy ≤
-    ``collapse_threshold`` — the star relation is (almost) empty and
-    reps ≈ df, so the direct form (CC over the shingled docs with the
-    direct candidate pairs) is computed outright.
+    Skip-gate (round-7 verdict item 6): gates on mean copy-group size
+    n/d > ``mean_copies_threshold`` like its pairs sibling — the CC
+    crossover tracks the same ~20-30 copies/content wall (the star
+    relation only beats clique expansion once cliques are large).
+    Tri-state ``collapse`` (True/False) skips the gate aggregate and
+    restores lazy construction (ADVICE r7 item 2).
     """
     from aidc_2018_timeseries_spark.operators.graph import connected_components
 
-    if exact_dup_redundancy(df, text_col) <= collapse_threshold:
+    if collapse is None:
+        collapse = exact_dup_mean_copies(df, text_col) > mean_copies_threshold
+    if not collapse:
         pairs = minhash_candidate_pairs(
             df, id_col, text_col, num_hashes, num_bands, shingle_n
         )

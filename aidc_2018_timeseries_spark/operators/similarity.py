@@ -934,3 +934,104 @@ def ivf_probe_persisted(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", "sim")
     )
+
+
+def cosine_rescore_arrow(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Arrow-batched exact cosine over CANDIDATE PAIRS: one vectorized
+    (rows × dim) elementwise-multiply + row-sum per batch instead of
+    three interpreted HOF folds per pair.
+
+    This is the deployment relief for the one output-bound regime the
+    round-7 ANN decade measured (SCALING.md: 10.9M true pairs × ≈100µs
+    of fold arithmetic = 417s — the rescore, not the LSH, was the wall).
+    The joins that marshal both vectors to each pair are unchanged; only
+    the arithmetic moves from the interpreted expression tree to NumPy.
+    Zero-norm vectors yield NULL sim (the shared contract); rounding is
+    HALF_EVEN at 6 dp like ``F.round``, so any divergence from the fold
+    form needs a true sum whose accumulation-order error crosses a 5e-7
+    boundary — margins are measured in tests/test_gemm_rescore.py.
+    Output: (a_col, b_col, sim double).
+    """
+    import numpy as np
+    import pandas as pd
+
+    a_t = pairs.schema[a_col].dataType.simpleString()
+    b_t = pairs.schema[b_col].dataType.simpleString()
+    va = vectors.select(F.col(id_col).alias(a_col), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias(b_col), F.col(vec_col).alias("_vb"))
+    joined = pairs.select(a_col, b_col).join(va, a_col).join(vb, b_col)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.asarray(pdf["_va"].tolist(), dtype=np.float64)
+            B = np.asarray(pdf["_vb"].tolist(), dtype=np.float64)
+            na = np.einsum("ij,ij->i", A, A)
+            nb = np.einsum("ij,ij->i", B, B)
+            dot = np.einsum("ij,ij->i", A, B)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sim = np.round(dot / np.sqrt(na * nb), 6)
+            sim = np.where((na > 0) & (nb > 0), sim, np.nan)
+            out = pd.DataFrame(
+                {a_col: pdf[a_col], b_col: pdf[b_col], "sim": sim}
+            )
+            # NaN → NULL under Arrow; make the mask explicit
+            out.loc[~((na > 0) & (nb > 0)), "sim"] = None
+            yield out
+
+    return joined.mapInPandas(
+        gen, schema=f"{a_col} {a_t}, {b_col} {b_t}, sim double"
+    )
+
+
+def embedding_lsh_dup_pairs_gemm(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    n_tables: int = 8,
+    n_bits: int | None = None,
+    seed: int = 7,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[tuple[int, int, list[float]]] | None = None,
+) -> DataFrame:
+    """Deployment sibling of :func:`embedding_lsh_dup_pairs`: identical
+    candidate generation (GEMM signatures, banded self-join on
+    (table_id, bucket)), but the exact rescore runs through
+    :func:`cosine_rescore_arrow` instead of the fold expressions.
+
+    Kept as a SEPARATE function so the oracle-checked faces keep the
+    construction-exact fold contract while the 100 TB path gets BLAS
+    arithmetic in the one regime where rescore volume is the wall
+    (heavily duplicated corpora — SCALING.md round-8 decade row). Pair
+    sets are pinned equal to the fold form in tests/test_gemm_rescore.py.
+    """
+    if planes is None:
+        if n_bits is None:
+            n_bits = scaled_n_bits(vectors.count())
+        planes = hyperplane_rows(dim, n_tables, n_bits, seed)
+    sig = lsh_signatures_arrow(vectors, planes, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return cosine_rescore_arrow(cand, vectors, id_col, vec_col).filter(
+        F.col("sim") >= threshold
+    )

@@ -606,6 +606,7 @@ _PCT_EVAL_ACCURACY = 10000
            CAST(1 AS BIGINT) AS within_rank_bound
     FROM events e
     CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]::DOUBLE[]) AS pct) AS p
+    WHERE e.value IS NOT NULL
     GROUP BY e.event_type, p.pct
     """,
     doc="percentile-sketch quality scorecard, ORACLE-CHECKED: each "
@@ -623,7 +624,12 @@ _PCT_EVAL_ACCURACY = 10000
     "at 100 TB in bounded memory",
 )
 def agg_approx_percentiles_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL guard on BOTH arms (ADVICE r7 item 3): percentile_approx and
+    # the below/le sums all ignore NULL values, but COUNT(*) would not —
+    # on a nullable-value corpus the target rank pct*n would silently
+    # inflate and flip within_rank_bound. Testdata has no NULL values;
+    # the invariant must not depend on that.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     pcts = _PCT_EVAL_PCTS
     ap = ev.groupBy("event_type").agg(
         F.percentile_approx("value", pcts, _PCT_EVAL_ACCURACY).alias("a")

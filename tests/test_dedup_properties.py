@@ -257,7 +257,7 @@ def test_collapsed_minhash_pairs_equal_direct(spark):
             ).collect()
         }
         collapsed_rows = minhash_candidate_pairs_collapsed(
-            df, "doc_id", "text", num_bands=num_bands
+            df, "doc_id", "text", num_bands=num_bands, collapse=True
         ).collect()
         collapsed = {(r["id_a"], r["id_b"]) for r in collapsed_rows}
         assert len(collapsed_rows) == len(collapsed), f"seed {seed}: dup rows"
@@ -296,7 +296,7 @@ def test_collapsed_minhash_components_equal_direct(spark):
         collapsed = {
             r["node"]: r["label"]
             for r in minhash_components_collapsed(
-                df, "doc_id", "text"
+                df, "doc_id", "text", collapse=True
             ).collect()
         }
         assert collapsed == direct, f"seed {seed}"
@@ -379,3 +379,53 @@ def test_collapsed_forms_on_clean_corpus_take_direct_path(spark):
         for r in minhash_candidate_pairs_collapsed(df, "doc_id", "text").collect()
     }
     assert coll_m == direct_m
+
+
+def test_minhash_gate_statistic_mean_copies(spark):
+    """Round-8 per-family gate (r7 verdict item 6): the MinHash family
+    routes on mean copies/content n/d, not redundancy — an all-doubled
+    corpus (50% redundant, mean copies 2) stays DIRECT, a 25-copy corpus
+    collapses; and the tri-state knob overrides either way with equal
+    results on both routes."""
+    from aidc_2018_timeseries_spark.operators.dedup import (
+        exact_dup_mean_copies,
+        exact_dup_redundancy,
+        exact_dup_stats,
+        minhash_candidate_pairs,
+        minhash_candidate_pairs_collapsed,
+    )
+
+    base = {
+        i: f"alpha beta gamma delta epsilon zeta eta theta doc{i} tail{i}"
+        for i in range(6)
+    }
+    doubled = spark.createDataFrame(
+        [(i, t) for i, t in base.items()]
+        + [(100 + i, t) for i, t in base.items()],
+        "doc_id long, text string",
+    )
+    n, d = exact_dup_stats(doubled, "text")
+    assert (n, d) == (12, 6)
+    assert abs(exact_dup_redundancy(doubled, "text") - 0.5) < 1e-12
+    assert abs(exact_dup_mean_copies(doubled, "text") - 2.0) < 1e-12
+
+    heavy = spark.createDataFrame(
+        [(k * 100 + i, t) for i, t in base.items() for k in range(25)],
+        "doc_id long, text string",
+    )
+    assert exact_dup_mean_copies(heavy, "text") == 25.0
+
+    # both routes exact on both corpora — the gate is purely a compute knob
+    for df in (doubled, heavy):
+        direct = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_candidate_pairs(df, "doc_id", "text").collect()
+        }
+        for forced in (True, False, None):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in minhash_candidate_pairs_collapsed(
+                    df, "doc_id", "text", collapse=forced
+                ).collect()
+            }
+            assert got == direct, forced

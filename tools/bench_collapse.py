@@ -1,11 +1,12 @@
 """Worst-case duplicate-corpus audits for the pairwise dedup family —
 the reproducible source of SCALING.md's round-5/6 collapse tables.
 
-Round 7: the collapsed operators SELF-GATE on measured exact-dup
-redundancy (operators/dedup.py: exact_dup_redundancy); every corpus this
-tool builds is dup-heavy (K>=2 copies, redundancy >= 50%), so the
-"collapsed" timings below include the gate aggregate and still take the
-collapse branch — the A/B meaning is unchanged.
+Round 8: the gates are now per-family (containment on redundancy > 2%,
+the MinHash family on mean copies/content > 20 — the measured
+crossover), so a K=10 corpus would auto-route the minhash forms DIRECT.
+The "collapsed" arms therefore force ``collapse=True``: this tool's job
+is to measure the collapse machinery itself, which is exactly what the
+tri-state knob exists for.
 
 Builds the adversarial corpora from sf0.1 documents in memory:
 - ``copies K``: every doc duplicated K times under shifted ids (the
@@ -121,7 +122,7 @@ def main() -> None:
         big = with_copies(d0, k)
         print("docs:", big.count())
         timeit("direct", lambda: dd.minhash_candidate_pairs(big, "doc_id", "text").count())
-        timeit("collapsed", lambda: dd.minhash_candidate_pairs_collapsed(big, "doc_id", "text").count())
+        timeit("collapsed", lambda: dd.minhash_candidate_pairs_collapsed(big, "doc_id", "text", collapse=True).count())
     elif mode == "cc":
         big = with_copies(d0, k)
         print("docs:", big.count())
@@ -136,12 +137,12 @@ def main() -> None:
             ).count()
 
         timeit("direct", direct)
-        timeit("collapsed", lambda: dd.minhash_components_collapsed(big, "doc_id", "text").count())
+        timeit("collapsed", lambda: dd.minhash_components_collapsed(big, "doc_id", "text", collapse=True).count())
     elif mode == "containment":
         big = with_copies(d0, k)
         print("docs:", big.count())
         timeit("direct", lambda: dd.ngram_containment_pairs(big, "doc_id", "text", threshold=0.9).count())
-        timeit("collapsed", lambda: dd.ngram_containment_pairs_collapsed(big, "doc_id", "text", threshold=0.9).count())
+        timeit("collapsed", lambda: dd.ngram_containment_pairs_collapsed(big, "doc_id", "text", threshold=0.9, collapse=True).count())
     elif mode == "second-decade":
         big = with_vocab_variants(d0, 10, copies=10)
         print("docs:", big.count())
