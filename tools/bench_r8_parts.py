@@ -11,6 +11,7 @@ HERE = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(HERE))
 
 R7 = HERE / ".bench_r7"
+OUT = HERE / ".bench_r8"
 
 
 def _spark():
@@ -73,4 +74,60 @@ def bpe_batched() -> None:
 
 
 def pipeline_clean() -> None:
-    raise NotImplementedError  # filled in later this round
+    """llm_corpus_pipeline at 100x CLEAN docs (verdict item 7): 100
+    disjoint-vocabulary variants, ONE copy each — unique content grows
+    100x, no new near-dup structure, so this separates corpus-VOLUME
+    growth from the dup-REGIME growth measured in r7 (10x identical
+    copies, 125.1s, quadratic-clique attribution).
+
+    Builder nuance vs bench_collapse.with_vocab_variants: the pipeline's
+    language gate is stopword-driven, so prefixing EVERY token would
+    flip every variant to lang!='en' and the decade would measure only
+    the scan+gates. Here STOPWORDS KEEP THEIR SURFACE FORM and only
+    content tokens get the variant prefix: variants stay 'en', quality
+    stays comparable, and cross-variant Jaccard is near zero (shared
+    shingles need 3 consecutive stopwords), so the corpus is genuinely
+    clean at 100x volume. Single run per point (minutes-scale)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aidc_2018_timeseries_spark.operators.text import LANG_STOPWORDS
+    from aidc_2018_timeseries_spark.plans.catalog import CATALOG, load_all
+    from aidc_2018_timeseries_spark.sources.tables import load_table
+
+    load_all()
+    spark = _spark()
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    stop = F.array(*[F.lit(w) for w in sorted(LANG_STOPWORDS["en"])])
+
+    def variants(v: int) -> str:
+        out = None
+        for i in range(v):
+            keep = F.transform(
+                F.split(F.col("text"), " "),
+                lambda x, i=i: F.when(
+                    F.array_contains(stop, F.lower(x)), x
+                ).otherwise(F.concat(F.lit(f"v{i}"), x)),
+            )
+            dv = base.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                F.concat_ws(" ", keep).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            out = dv if out is None else out.unionByName(dv)
+        path = OUT / f"docs{v}clean"
+        shutil.rmtree(path, ignore_errors=True)
+        out.repartition(32, "doc_id").write.parquet(
+            str(path / "documents.parquet")
+        )
+        return str(path)
+
+    fn = CATALOG["llm_corpus_pipeline"].spark_fn
+    for v in (1, 10, 100):
+        d = variants(v) if v > 1 else "/root/testdata/sf0.1"
+        t = time.time()
+        n = fn(spark, d).count()
+        print(f"clean {v}x: {n} rows in {time.time() - t:.1f}s", flush=True)
