@@ -612,15 +612,21 @@ def exact_collapse(
 COLLAPSE_REDUNDANCY_THRESHOLD = 0.02
 
 #: mean copies-per-content above which the MinHash-family collapse wins.
-#: The redundancy threshold is the WRONG statistic for this family: the
-#: round-7 crossover audit (SCALING.md skip-gate walls) measured the
-#: collapsed minhash pairs/CC forms overtaking the direct ones only at
-#: ~20-30 copies per content — a corpus of all-doubled docs is 50%
-#: redundant yet the direct form still wins, because the collapse's
-#:   mapping/expansion joins cost more than the C(2,2)·bands bucket rows
-#: they save. Mean group size n/d falls out of the SAME gate aggregate
-#: for free (round-7 verdict item 6).
-MINHASH_COLLAPSE_MEAN_COPIES = 20.0
+#: The redundancy threshold is the WRONG statistic for this family: a
+#: corpus of all-doubled docs is 50% redundant yet the direct form still
+#: wins, because the collapse's mapping/expansion joins cost more than
+#: the few bucket rows a 2-group saves. Mean group size n/d falls out of
+#: the SAME gate aggregate for free (round-7 verdict item 6). The two
+#: operators cross over at DIFFERENT sizes (round-8 solo-JVM sweep,
+#: SCALING.md: pairs — direct wins at K=3, collapsed at K=10/30/60, so
+#: the wall is ~5-10; CC — direct wins at K=3/10, collapsed at K=30,
+#: wall ~10-30): the pairs collapse saves the signature/banding stage
+#: outright, while CC's star-vs-clique advantage only beats the mapping
+#: overhead once cliques are large.
+MINHASH_PAIRS_COLLAPSE_MEAN_COPIES = 8.0
+MINHASH_CC_COLLAPSE_MEAN_COPIES = 20.0
+#: kept as the CC alias for round-7 compatibility in external callers
+MINHASH_COLLAPSE_MEAN_COPIES = MINHASH_CC_COLLAPSE_MEAN_COPIES
 
 
 def exact_dup_stats(
@@ -792,7 +798,7 @@ def minhash_candidate_pairs_collapsed(
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_n: int = 3,
-    mean_copies_threshold: float = MINHASH_COLLAPSE_MEAN_COPIES,
+    mean_copies_threshold: float = MINHASH_PAIRS_COLLAPSE_MEAN_COPIES,
     collapse: bool | None = None,
 ) -> DataFrame:
     """:func:`minhash_candidate_pairs` with :func:`exact_collapse` in
@@ -822,10 +828,9 @@ def minhash_candidate_pairs_collapsed(
 
     Skip-gate (round-7 verdict item 6 — per-FAMILY statistic): the
     MinHash family gates on mean copy-group size n/d, not redundancy —
-    the measured crossover is ~20-30 copies/content (SCALING.md round-7
-    walls; a 50%-redundant all-doubled corpus still favors the direct
-    form, because the mapping/expansion joins cost more than the few
-    bucket rows a 2-group saves). Tri-state ``collapse`` (True/False)
+    the round-8 solo-JVM sweep put the PAIRS crossover at ~5-10
+    copies/content (direct wins at K=3, collapsed from K=10 on), hence
+    the default threshold 8. Tri-state ``collapse`` (True/False)
     skips the gate aggregate and restores lazy construction (ADVICE r7
     item 2) — pair it with one shared :func:`exact_dup_stats` call when
     composing several collapsed operators.
@@ -882,7 +887,7 @@ def minhash_components_collapsed(
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_n: int = 3,
-    mean_copies_threshold: float = MINHASH_COLLAPSE_MEAN_COPIES,
+    mean_copies_threshold: float = MINHASH_CC_COLLAPSE_MEAN_COPIES,
     collapse: bool | None = None,
 ) -> DataFrame:
     """Connected components over the MinHash candidate graph, with
@@ -914,9 +919,10 @@ def minhash_components_collapsed(
     via |members| star edges rather than Σ C(k,2) clique edges.
 
     Skip-gate (round-7 verdict item 6): gates on mean copy-group size
-    n/d > ``mean_copies_threshold`` like its pairs sibling — the CC
-    crossover tracks the same ~20-30 copies/content wall (the star
-    relation only beats clique expansion once cliques are large).
+    n/d > ``mean_copies_threshold`` like its pairs sibling, but at the
+    CC family's own measured wall (~10-30 copies/content — direct wins
+    at K=3/10, collapsed at K=30; the star relation only beats clique
+    expansion once cliques are large), hence the deeper default 20.
     Tri-state ``collapse`` (True/False) skips the gate aggregate and
     restores lazy construction (ADVICE r7 item 2).
     """

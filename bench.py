@@ -123,6 +123,11 @@ HEADLINE = [
     "text_bpe_train_merges",
     "streaming_ewma_anomaly",
     "dedup_embedding_lsh_scaled",
+    # added round 8 (subtract when comparing against earlier totals):
+    # the persisted-IVF deployment face — includes the bucketed index
+    # WRITE plus the pruned probe, the amortized-write story on the
+    # regression radar like bucketed_join_colocated
+    "knn_ivf_persisted_eval",
 ]
 
 
