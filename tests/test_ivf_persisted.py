@@ -83,3 +83,19 @@ def test_gemm_build_persists_same_index(spark):
         v, cents, "aidc_ivf_test_b", p2, n_buckets=8, arrow=True
     ).select("vec_id", "centroid_id")
     assert _rows(a) == _rows(b)
+
+
+def test_arrow_probe_matches_expression_probe(spark):
+    """The arrow=True deployment rescore must reproduce the expression
+    probe's top-k exactly on this corpus (same 6-dp round, same NULL
+    policy, same tiebreak)."""
+    v, q, cents = _frames(spark)
+    path = tempfile.mkdtemp(prefix="aidc_ivf_test_")
+    index = sim.ivf_build_persisted(
+        v, cents, "aidc_ivf_test_idx3", path, n_buckets=8, arrow=False
+    )
+    a = sim.ivf_probe_persisted(index, q, cents, n_probe=PROBE, k=K)
+    b = sim.ivf_probe_persisted(
+        index, q, cents, n_probe=PROBE, k=K, arrow=True
+    )
+    assert _rows(a) == _rows(b)
