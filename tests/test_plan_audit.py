@@ -37,6 +37,10 @@ _NESTED_LOOP_OK = {
     # on a sampled stratum per their docstrings.
     "knn_ivf_eval",
     "knn_rp_lsh_eval",
+    # Same inheritance: the persisted-IVF scorecard composes brute-force
+    # ground truth AND the expression router's broadcast-centroid cross
+    # (constant-size build side — the router table a serving tier holds).
+    "knn_ivf_persisted_eval",
     "knn_ivf",  # centroid assignment broadcasts the centroid set
     # k-means assignment: the broadcast side is the k-centroid table
     # (k × dim values — constant-size at any corpus scale); every vector

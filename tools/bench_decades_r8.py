@@ -64,15 +64,19 @@ def ivf_persisted() -> None:
                 F.col("embedding").alias("query_vec"),
             )
             nq = q.count()
-            runs = []
-            for _ in range(2):
-                t = time.time()
-                sim.ivf_probe_persisted(index, q, cents, n_probe=3, k=5).count()
-                runs.append(round(time.time() - t, 2))
-            print(
-                f"{tag} n={n} C~{int(n**0.5)} build+write={build:.1f}s "
-                f"probe[{qtag} {nq}q]={runs} (min {min(runs)}s)"
-            )
+            for arrow in (False, True):
+                runs = []
+                for _ in range(2):
+                    t = time.time()
+                    sim.ivf_probe_persisted(
+                        index, q, cents, n_probe=3, k=5, arrow=arrow
+                    ).count()
+                    runs.append(round(time.time() - t, 2))
+                print(
+                    f"{tag} n={n} C~{int(n**0.5)} build+write={build:.1f}s "
+                    f"probe[{qtag} {nq}q arrow={arrow}]={runs} "
+                    f"(min {min(runs)}s)"
+                )
 
 
 def main() -> None:
