@@ -12,6 +12,13 @@ Two tiers, per the 100 TB design brief:
   corpus. Centroids here are a deterministic id-stride sample; a real
   deployment would plug k-means centroids from MLlib without changing the
   query shape.
+- PERSISTED IVF (round 8) — the deployment tier: ivf_build_persisted
+  writes the inverted file bucketed on centroid_id once;
+  ivf_probe_persisted(arrow=True) routes and rescores through Arrow
+  GEMMs with bucket-pruned scans (2000-query probe at 200k vectors:
+  4.9s vs 62.8s through the fold expressions — SCALING.md round 8).
+  ivf_topk remains the single-pass oracle-able form; at corpus scale
+  prefer build-once + persisted probes.
 """
 
 from __future__ import annotations
