@@ -195,6 +195,52 @@ def stride_centroids(
     )
 
 
+def _score_candidates_arrow(
+    cand: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Shared Arrow candidate scorer for the IVF probe paths: one
+    vectorized einsum batch over pre-joined (query, candidate) rows —
+    (query_id, neighbor_id, sim double), NULL sim dropped. Same 6-dp
+    HALF_EVEN rounding and zero-norm policy as the fold expressions."""
+    import numpy as np
+    import pandas as pd
+
+    qid_t = cand.schema[query_id_col].dataType.simpleString()
+    nid_t = cand.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            B = np.asarray(pdf[query_vec_col].tolist(), dtype=np.float64)
+            na = np.einsum("ij,ij->i", A, A)
+            nb = np.einsum("ij,ij->i", B, B)
+            dot_ = np.einsum("ij,ij->i", A, B)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = np.round(dot_ / np.sqrt(na * nb), 6)
+            out = pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col],
+                    "neighbor_id": pdf[id_col],
+                    "sim": s,
+                }
+            )
+            out.loc[~((na > 0) & (nb > 0)), "sim"] = None
+            yield out
+
+    return cand.select(
+        query_id_col, id_col, vec_col, query_vec_col
+    ).mapInPandas(
+        gen,
+        schema=f"{query_id_col} {qid_t}, neighbor_id {nid_t}, sim double",
+    ).filter(F.col("sim").isNotNull())
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -224,9 +270,12 @@ def ivf_topk(
     build time). This is the scale knob: a FIXED stride makes C grow with
     the corpus and the build cost n·C quadratic; fixing C (≈√n is the
     classic IVF choice) keeps the build linear and the probed fraction
-    n_probe/C stable. The assignment itself runs as an Arrow GEMM
-    (``assign_centroids_arrow``) — the expression form is kept for
-    bit-reproducible small-scale parity but is never the scale path.
+    n_probe/C stable. Under ``arrow=True`` all THREE per-row × per-
+    centroid stages run vectorized (GEMM assignment, GEMM+argsort query
+    routing, einsum candidate rescore — round 8 extended the routing and
+    rescore after the persisted-probe A/B showed the routing folds were
+    the actual wall, SCALING.md); the expression forms are kept for
+    bit-reproducible oracle parity but are never the scale path.
     """
     if n_centroids is not None:
         n = vectors.count()
@@ -235,24 +284,34 @@ def ivf_topk(
     assign = assign_centroids_arrow if arrow else assign_centroids
     inverted = assign(vectors, cents, id_col, vec_col)
     # queries → their n_probe closest centroids
-    qc = queries.crossJoin(F.broadcast(cents))
-    qsim = F.round(cosine_similarity(F.col(query_vec_col), F.col("centroid_vec")), 6)
-    wq = Window.partitionBy(query_id_col).orderBy(F.col("qsim").desc(), F.col("centroid_id"))
-    probes = (
-        qc.select(F.col(query_id_col), F.col(query_vec_col), F.col("centroid_id"), qsim.alias("qsim"))
-        # zero-norm query/centroid → NULL cosine: drop before ranking so a
-        # degenerate query probes nothing instead of n_probe arbitrary cells
-        .filter(F.col("qsim").isNotNull())
-        .withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= n_probe)
-        .select(query_id_col, query_vec_col, "centroid_id")
-    )
+    if arrow:
+        probes = _route_queries_arrow(
+            queries, cents, n_probe, query_id_col, query_vec_col
+        )
+    else:
+        qc = queries.crossJoin(F.broadcast(cents))
+        qsim = F.round(cosine_similarity(F.col(query_vec_col), F.col("centroid_vec")), 6)
+        wq = Window.partitionBy(query_id_col).orderBy(F.col("qsim").desc(), F.col("centroid_id"))
+        probes = (
+            qc.select(F.col(query_id_col), F.col(query_vec_col), F.col("centroid_id"), qsim.alias("qsim"))
+            # zero-norm query/centroid → NULL cosine: drop before ranking so a
+            # degenerate query probes nothing instead of n_probe arbitrary cells
+            .filter(F.col("qsim").isNotNull())
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= n_probe)
+            .select(query_id_col, query_vec_col, "centroid_id")
+        )
     # probe join: only vectors in probed cells are scored
     cand = probes.join(inverted, "centroid_id").filter(F.col(id_col) != F.col(query_id_col))
-    sim = F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
-    scored = cand.select(
-        F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("sim")
-    ).filter(F.col("sim").isNotNull())  # match brute_force_topk's NULL policy
+    if arrow:
+        scored = _score_candidates_arrow(
+            cand, id_col, vec_col, query_id_col, query_vec_col
+        )
+    else:
+        sim = F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
+        scored = cand.select(
+            F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("sim")
+        ).filter(F.col("sim").isNotNull())  # match brute_force_topk's NULL policy
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1009,39 +1068,9 @@ def ivf_probe_persisted(
         F.col(id_col) != F.col(query_id_col)
     )
     if arrow:
-        import numpy as np
-        import pandas as pd
-
-        qid_t = queries.schema[query_id_col].dataType.simpleString()
-        nid_t = index.schema[id_col].dataType.simpleString()
-
-        def gen(batches):
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                A = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-                B = np.asarray(pdf[query_vec_col].tolist(), dtype=np.float64)
-                na = np.einsum("ij,ij->i", A, A)
-                nb = np.einsum("ij,ij->i", B, B)
-                dot_ = np.einsum("ij,ij->i", A, B)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    s = np.round(dot_ / np.sqrt(na * nb), 6)
-                out = pd.DataFrame(
-                    {
-                        query_id_col: pdf[query_id_col],
-                        "neighbor_id": pdf[id_col],
-                        "sim": s,
-                    }
-                )
-                out.loc[~((na > 0) & (nb > 0)), "sim"] = None
-                yield out
-
-        scored = cand.select(
-            query_id_col, id_col, vec_col, query_vec_col
-        ).mapInPandas(
-            gen,
-            schema=f"{query_id_col} {qid_t}, neighbor_id {nid_t}, sim double",
-        ).filter(F.col("sim").isNotNull())
+        scored = _score_candidates_arrow(
+            cand, id_col, vec_col, query_id_col, query_vec_col
+        )
     else:
         sim = F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
         scored = cand.select(
