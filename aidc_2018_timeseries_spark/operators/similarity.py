@@ -957,6 +957,15 @@ def _route_queries_arrow(
     qid_t = queries.schema[query_id_col].dataType.simpleString()
     qvec_t = queries.schema[query_vec_col].dataType.simpleString()
     rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    if not rows:
+        # empty router table → empty probe relation (np.linalg.norm on a
+        # 0-row matrix raises driver-side — the assign_centroids_arrow
+        # guard, caught by tests/test_ivf_persisted.py edge battery)
+        return queries.select(
+            query_id_col, query_vec_col
+        ).filter(F.lit(False)).withColumn(
+            "centroid_id", F.lit(None).cast("long")
+        )
     ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
     M = np.array([r["centroid_vec"] for r in rows], dtype=np.float64)
     cnorms = np.linalg.norm(M, axis=1)

@@ -99,3 +99,79 @@ def test_arrow_probe_matches_expression_probe(spark):
         index, q, cents, n_probe=PROBE, k=K, arrow=True
     )
     assert _rows(a) == _rows(b)
+
+
+def test_arrow_router_edge_cases(spark):
+    """_route_queries_arrow must mirror the expression router's edge
+    semantics: zero-norm queries probe nothing, zero-norm centroids are
+    dropped, n_probe > C degrades to all live cells, empty centroid set
+    yields an empty probe relation."""
+    from pyspark.sql import functions as F
+
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])],
+        "query_id long, query_vec array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0]), (30, [0.0, 0.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    got = {
+        (r.query_id, r.centroid_id)
+        for r in sim._route_queries_arrow(
+            q, cents, n_probe=5, query_id_col="query_id",
+            query_vec_col="query_vec",
+        ).collect()
+    }
+    # query 2 (zero norm) probes nothing; centroid 30 (zero norm) never
+    # appears; n_probe=5 > 2 live cells -> both cells per live query
+    assert got == {(1, 10), (1, 20), (3, 10), (3, 20)}
+
+    empty = cents.filter(F.lit(False))
+    assert (
+        sim._route_queries_arrow(
+            q, empty, n_probe=3, query_id_col="query_id",
+            query_vec_col="query_vec",
+        ).count()
+        == 0
+    )
+
+
+def test_arrow_router_matches_expression_router_ranking(spark):
+    """Tie and ordering parity on a crafted grid: same probed cells as
+    the expression router (6-dp round, smaller centroid_id on ties)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aidc_2018_timeseries_spark.functions.vectors import cosine_similarity
+
+    q = spark.createDataFrame(
+        [(i, [float(i % 3 + 1), float((7 * i) % 5)]) for i in range(1, 9)],
+        "query_id long, query_vec array<double>",
+    )
+    # duplicate centroid vectors force rounded-cosine TIES
+    cents = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [1.0, 1.0]), (3, [2.0, 1.0]), (4, [0.5, 2.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    arrow = {
+        (r.query_id, r.centroid_id)
+        for r in sim._route_queries_arrow(
+            q, cents, n_probe=2, query_id_col="query_id",
+            query_vec_col="query_vec",
+        ).collect()
+    }
+    qc = q.crossJoin(F.broadcast(cents))
+    qsim = F.round(cosine_similarity(F.col("query_vec"), F.col("centroid_vec")), 6)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("centroid_id")
+    )
+    expr = {
+        (r.query_id, r.centroid_id)
+        for r in qc.select("query_id", "centroid_id", qsim.alias("qsim"))
+        .filter(F.col("qsim").isNotNull())
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 2)
+        .collect()
+    }
+    assert arrow == expr
