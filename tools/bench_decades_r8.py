@@ -83,6 +83,10 @@ def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "ivf-persisted"
     if cmd == "ivf-persisted":
         ivf_persisted()
+    elif cmd == "ivf-million":
+        from tools.bench_r8_parts import ivf_million
+
+        ivf_million()
     elif cmd == "gemm-rescore":
         from tools.bench_r8_parts import gemm_rescore
 

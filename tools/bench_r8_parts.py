@@ -131,3 +131,68 @@ def pipeline_clean() -> None:
         t = time.time()
         n = fn(spark, d).count()
         print(f"clean {v}x: {n} rows in {time.time() - t:.1f}s", flush=True)
+
+
+def ivf_million() -> None:
+    """Persisted-IVF third decade: 1M vectors (dim 64), one more decade
+    past emb100, proving the build-once/probe-decoupled story holds as C
+    and corpus grow together (C = √n = 1000). Corpus: 100k seeded base
+    vectors × 10 deterministic perturbed copies (the r4/r7 ANN-corpus
+    style, regenerated here because the earlier builders were ad hoc —
+    absolute numbers are not comparable across corpora; the build/probe
+    SPLIT is the signal)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aidc_2018_timeseries_spark.operators import similarity as sim
+
+    spark = _spark()
+    path = OUT / "emb1000" / "embeddings.parquet"
+    if not path.exists():
+        rng = np.random.RandomState(11)
+        base = rng.standard_normal((100_000, 64))
+        rows = []
+        import pandas as pd
+
+        shutil.rmtree(path, ignore_errors=True)
+        for copy in range(10):
+            pert = base + 0.02 * rng.standard_normal(base.shape)
+            pdf = pd.DataFrame(
+                {
+                    "vec_id": np.arange(100_000, dtype=np.int64)
+                    + copy * 1_000_000,
+                    "embedding": list(pert),
+                }
+            )
+            sdf = spark.createDataFrame(pdf)
+            sdf.write.mode("append").parquet(str(path))
+        del rows
+    v = spark.read.parquet(str(path))
+    n = v.count()
+    stride = max(1, n // max(32, int(n**0.5)))
+    cents = sim.stride_centroids(v, stride)
+    idx_path = tempfile.mkdtemp(prefix="aidc_ivf_emb1000_")
+    t = time.time()
+    index = sim.ivf_build_persisted(
+        v, cents, "aidc_ivf_emb1000", idx_path, n_buckets=64, arrow=True
+    )
+    index.count()
+    build = time.time() - t
+    print(f"emb1000 n={n} C~{int(n**0.5)} build+write={build:.1f}s")
+    for mod, tag in ((1000, "2000q"), (100_000, "small")):
+        q = v.filter(F.col("vec_id") % mod == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        nq = q.count()
+        runs = []
+        for _ in range(2):
+            t = time.time()
+            sim.ivf_probe_persisted(
+                index, q, cents, n_probe=3, k=5, arrow=True
+            ).count()
+            runs.append(round(time.time() - t, 2))
+        print(f"emb1000 probe[{tag} {nq}q arrow]={runs}")
