@@ -261,7 +261,14 @@ def _corpus_pipeline_sql() -> str:
 def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aidc_2018_timeseries_spark.operators import text as tx
 
-    d = load_table(spark, sf_dir, "documents")
+    # Conditional spread (round 8): the face-level curation chain
+    # (quality/lang scoring, the gram explode) is compute-bound per row
+    # and, unlike the leaf dedup operators, had no _spread — on a
+    # single-file corpus the whole pre-shuffle stage ran as ONE task
+    # (measured: the r7 dup-10x decade's 125-145s was ~85% this layout
+    # artifact, 20.0s once spread — SCALING.md round-8 correction). At
+    # 100 TB the input has thousands of splits and this is a no-op.
+    d = dd._spread(load_table(spark, sf_dir, "documents"), "doc_id")
     scored = d.select(
         "doc_id",
         "text",
@@ -298,11 +305,17 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = kept.where(
         F.size(shingle_hashes(F.col("text"), n=_SHINGLE_N)) > 0
     ).select("doc_id")
-    pairs = dd.minhash_candidate_pairs(
-        kept, "doc_id", "text", num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=_SHINGLE_N
-    )
-    labels = connected_components(
-        nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    # Round 8: the near-dup clustering stage routes through the GATED
+    # collapsed form — on (nearly) exact-clean corpora (this testdata,
+    # and any corpus with mean copies/content <= 20, the measured CC
+    # crossover) the gate runs the direct pairs+CC byte-identically to
+    # the r7 plan; past the crossover (duplicate-heavy crawls, the
+    # 100 TB norm) each identical-content group enters CC as a linear
+    # star instead of a quadratic clique (equality pytest-pinned in
+    # tests/test_dedup_properties.py; dup-25x decade in SCALING.md).
+    labels = dd.minhash_components_collapsed(
+        kept, "doc_id", "text",
+        num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=_SHINGLE_N,
     )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     canon = (
