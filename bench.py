@@ -126,8 +126,12 @@ HEADLINE = [
     # added round 8 (subtract when comparing against earlier totals):
     # the persisted-IVF deployment face — includes the bucketed index
     # WRITE plus the pruned probe, the amortized-write story on the
-    # regression radar like bucketed_join_colocated
+    # regression radar like bucketed_join_colocated — and the flagship
+    # LLM curation pipeline, absent from the headline set until now
+    # (its round-8 spread fix was invisible to the bench; the heaviest
+    # single face by design, it belongs on the radar)
     "knn_ivf_persisted_eval",
+    "llm_corpus_pipeline",
 ]
 
 
