@@ -597,20 +597,27 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aidc_2018_timeseries_spark.operators import text as tx
 
-    d = load_table(spark, sf_dir, "documents")
+    # Spread ONCE at the face level: the nodes/quality projections below
+    # shingle-hash and score the full corpus and would otherwise run as a
+    # single task on a one-file corpus (the layout pathology measured in
+    # SCALING.md round-8 — nodes alone was 4.1s of this face's 12s solo
+    # wall). Conditional, so at 100 TB (thousands of scan splits) it is a
+    # no-op, exactly like the leaf operators' internal _spread.
+    d = dd._spread(load_table(spark, sf_dir, "documents"), "doc_id")
     pairs = dd.minhash_candidate_pairs(
         d, "doc_id", "text", num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=_SHINGLE_N
     )
-    nodes = d.select("doc_id").where(
-        F.size(shingle_hashes(F.col("text"), n=_SHINGLE_N)) > 0
-    )
-    comp = connected_components(
-        nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    # Vertex set = ALL doc ids. The earlier form restricted CC to docs
+    # with >=1 shingle and unioned the rest back as singletons — but edge
+    # endpoints always have shingles, so shingle-less docs come out of CC
+    # as their own singletons anyway; the restriction only bought a second
+    # full-corpus shingle pass (4.3s of this face's 12s solo wall — and
+    # Catalyst pushes the shingle-size predicate below the spread
+    # repartition, so it ran single-task on a one-file corpus) plus an
+    # anti-join. Semantics are pinned identical by the unchanged oracle.
+    allcomp = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
     ).select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
-    singles = d.join(nodes, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("component_id")
-    )
-    allcomp = comp.unionByName(singles)
     q = d.select("doc_id", F.round(tx.quality_score("text"), 6).alias("quality"))
     w = Window.partitionBy("component_id").orderBy(
         F.desc("quality"), F.asc("doc_id")
