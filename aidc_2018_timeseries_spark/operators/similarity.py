@@ -1194,3 +1194,101 @@ def embedding_lsh_dup_pairs_gemm(
     return cosine_rescore_arrow(cand, vectors, id_col, vec_col).filter(
         F.col("sim") >= threshold
     )
+
+
+def semdedup_verdicts(
+    vectors: DataFrame,
+    threshold: float,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-bucketed
+    SEMANTIC deduplication over an embedding column. Returns
+    ``(id, cluster, cent_sim, group_id, keep)`` — one row per non-zero
+    vector; ``keep = 1`` marks the single survivor of each semantic-
+    duplicate group.
+
+    Semantics (the paper's recipe, made deterministic and oracle-checkable):
+
+    1. Cluster the corpus. Centroids are the element-wise means of the
+       ``cluster_col`` groups (the same deterministic seeding the
+       ``kmeans_step_centroids`` face uses); every vector is then assigned
+       to its cosine-NEAREST centroid — one k-means assignment step, so
+       the clustering is derived, not just the stored label.
+    2. Within each cluster only, score all pairs; pairs with cosine ≥
+       ``threshold`` are semantic duplicates. Transitive closure over
+       those pairs (min-label connected components — the verified
+       ``graph.connected_components``) forms the duplicate GROUPS.
+    3. Per group keep exactly one: the paper keeps the example with the
+       LOWEST similarity to its cluster centroid (the least-redundant
+       representative); ties break on min id.
+
+    Zero-norm vectors have no defined cosine (``cosine_similarity`` is
+    NULL there) and are excluded from the output — the caller's corpus
+    contract, mirrored by the oracle's ``sim IS NOT NULL`` filter.
+
+    Scale shape: centroid assignment is scan × broadcast(k×dim) with a
+    per-row argmax window on ``id`` — no corpus shuffle beyond the spread;
+    the pairwise stage shuffles once on ``cluster`` and is bounded by
+    Σ|cluster|² — the SemDeDup contract is that k grows with the corpus
+    (the paper uses k ≈ n/10k), keeping clusters bounded; CC shuffles only
+    (node, label) rounds over edges that near-dup survivors alone
+    populate. The assigned relation is localCheckpoint-materialized before
+    the self-join (Spark never reuses a subplan across self-join sides —
+    the banded-relation lesson), trading executor block storage for a
+    recompute of the full assignment arm, same as the MinHash banded
+    relation.
+    """
+    v = _spread(vectors, id_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_e")
+    )
+    cents = centroid_means(
+        vectors, group_col=cluster_col, id_col=id_col, vec_col=vec_col
+    ).select(F.col(cluster_col).alias("_cl"), "centroid_vec")
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "_e",
+        "_cl",
+        F.round(cosine_similarity("_e", "centroid_vec"), 6).alias("cent_sim"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("cent_sim").desc(), F.col("_cl").asc()
+    )
+    assigned = (
+        scored.filter(F.col("cent_sim").isNotNull())
+        .withColumn("_rk", F.row_number().over(w_assign))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, F.col("_cl").cast("long").alias("cluster"), "cent_sim", "_e")
+        .localCheckpoint(eager=True)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(F.round(cosine_similarity("a._e", "b._e"), 6) >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    from aidc_2018_timeseries_spark.operators.graph import connected_components
+
+    groups = connected_components(
+        assigned.select(id_col), pairs, id_col=id_col, src_col="id_a", dst_col="id_b"
+    ).select(F.col("node").alias(id_col), F.col("label").alias("group_id"))
+    w_keep = Window.partitionBy("group_id").orderBy(
+        F.col("cent_sim").asc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.drop("_e")
+        .join(groups, id_col)
+        .withColumn("_rn", F.row_number().over(w_keep))
+        .select(
+            id_col,
+            "cluster",
+            "cent_sim",
+            "group_id",
+            F.when(F.col("_rn") == 1, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
+        )
+    )

@@ -564,3 +564,74 @@ def knn_ivf_persisted_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, q, cents, n_probe=_IVF_EVAL_PROBE, k=_K
     )
     return _ann_eval(pred, sim.brute_force_topk(v, q, k=_K))
+
+
+# --- SemDeDup: cluster-bucketed semantic deduplication -------------------
+_SEMDEDUP_TAU = 0.35  # testdata max pairwise sim ≈0.51 — the paper's 0.95+
+                      # would be vacuously empty here (same rationale as
+                      # _LSH_THRESHOLD in plans/dedup_queries.py)
+
+
+@register(
+    "dedup_semdedup",
+    f"""
+    WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    compc AS (
+      SELECT label, s.i AS i, ROUND(SUM(e[s.i]) / COUNT(*), 6) AS c
+      FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) ve,
+           UNNEST(generate_series(1, len(e))) AS s(i)
+      GROUP BY label, s.i),
+    cent AS (SELECT label AS c_label, list(c ORDER BY i) AS ce
+             FROM compc GROUP BY label),
+    scored AS (
+      -- zero-norm guard mirrors the Spark side's NULL-cosine filter
+      SELECT v.vec_id, v.e, c.c_label,
+             CASE WHEN list_dot_product(v.e, v.e) > 0
+                   AND list_dot_product(c.ce, c.ce) > 0 THEN
+               ROUND(list_dot_product(v.e, c.ce)
+                     / (SQRT(list_dot_product(v.e, v.e))
+                        * SQRT(list_dot_product(c.ce, c.ce))), 6) END AS cent_sim
+      FROM v CROSS JOIN cent c),
+    assigned AS (
+      SELECT vec_id, e, c_label AS cluster, cent_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cent_sim DESC, c_label ASC) AS rk
+      FROM scored WHERE cent_sim IS NOT NULL),
+    a2 AS (SELECT vec_id, cluster, cent_sim, e FROM assigned WHERE rk = 1),
+    p AS (
+      SELECT x.vec_id AS ia, y.vec_id AS ib
+      FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE ROUND(list_dot_product(x.e, y.e)
+                  / (SQRT(list_dot_product(x.e, x.e))
+                     * SQRT(list_dot_product(y.e, y.e))), 6) >= {_SEMDEDUP_TAU}),
+    edges AS (SELECT ia AS u, ib AS w FROM p UNION ALL SELECT ib, ia FROM p),
+    reach(node, root) AS (
+      SELECT vec_id, vec_id FROM a2
+      UNION
+      SELECT e.w, r.root FROM reach r JOIN edges e ON e.u = r.node),
+    grp AS (SELECT node AS vec_id, MIN(root) AS group_id FROM reach GROUP BY node),
+    ranked AS (
+      SELECT a2.vec_id, a2.cluster, a2.cent_sim, grp.group_id,
+             ROW_NUMBER() OVER (PARTITION BY grp.group_id
+                                ORDER BY a2.cent_sim ASC, a2.vec_id ASC) AS rn
+      FROM a2 JOIN grp USING (vec_id))
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, cent_sim, group_id,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM ranked
+    """,
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup bucketed by a "
+    "k-means cluster assignment — centroids are label-group means (the "
+    "kmeans_step_centroids seeding), every vector reassigned to its "
+    "cosine-nearest centroid, pairwise cosine only WITHIN a cluster, "
+    "transitive closure over >= tau pairs, and per semantic group keep "
+    "the example LEAST similar to its centroid (the paper's policy; tie "
+    "min id). The cluster count is the scale lever: the paper sizes "
+    "k ~ n/10k so the within-cluster quadratic term stays bounded while "
+    "candidate generation never leaves a cluster — contrast with "
+    "dedup_embedding_lsh, which buckets by random hyperplane signs "
+    "instead of learned structure. All-pair sims, the closure, and the "
+    "keep policy are exactly mirrored by the recursive-CTE oracle",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.semdedup_verdicts(e, threshold=_SEMDEDUP_TAU)
