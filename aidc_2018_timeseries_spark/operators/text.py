@@ -756,3 +756,121 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("repetitive"),
         )
     )
+
+
+def dsir_selection(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    group_col: str,
+    n_buckets: int = 256,
+    keep_frac: float = 0.2,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much more likely its
+    hashed-n-gram features are under the TARGET domain's unigram-over-
+    buckets model than under the raw corpus's, then Gumbel-top-k
+    resample. Returns one row per document:
+    ``(id, <group_col>, weight_micro, gumbel_micro, key_micro, selected)``.
+
+    Deterministic, cross-engine-exact construction:
+
+    - Features: word-bigram occurrences (with multiplicity — DSIR models
+      counts), hashed to ``n_buckets`` buckets via the repo's md5-based
+      ``hash64`` (bit-identical in DuckDB).
+    - Bucket models: add-one smoothing; the per-bucket log-likelihood
+      ratio ``ln((t_b+1)/(T+B)) - ln((r_b+1)/(R+B))`` is scaled to
+      MICRO-units and rounded to an INTEGER once, so every per-document
+      weight is an exact BIGINT sum — summation order cannot move it
+      (the float-sum ulp trap the 6-dp convention guards against is
+      eliminated outright, not just rounded away).
+    - Gumbel noise: ``g = -ln(-ln(u))`` with ``u`` a hash-derived uniform
+      in (0,1) per document — the paper's sampling made reproducible;
+      also micro-scaled to BIGINT. ``key = weight + gumbel``.
+    - Selection: within each ``group_col`` value (the source/shard — the
+      deployment unit a 100 TB selection ranks within, keeping the sort
+      partitioned rather than a global single-task window), the top
+      ``ceil(keep_frac * n_group)`` keys are selected; ties break on id.
+
+    Plan shape: the bigram explode is scan-local; ONE shuffle on bucket
+    (n_buckets keys, map-side combined) builds both models in the same
+    aggregate; the tiny bucket relation (with window totals over its
+    n_buckets rows) broadcasts back onto the exploded relation; one
+    shuffle on id sums each document's integer weight; the rank is a
+    window partitioned by group. Documents with <2 tokens have no
+    features and weight 0 — they still enter the ranking (the paper
+    resamples over the full raw corpus).
+    """
+    from pyspark.sql import Window
+
+    docs = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(target_col).alias("_t"),
+        char_ngrams_of_tokens(tokenize(F.col(text_col)), 2).alias("_bgs"),
+    )
+    exploded = docs.select(
+        id_col, F.explode("_bgs").alias("_bg"), "_t"
+    ).select(
+        id_col,
+        (hash64(F.concat(F.lit(f"{seed}:"), F.col("_bg"))) % n_buckets).alias("_bucket"),
+        "_t",
+    )
+    stats = exploded.groupBy("_bucket").agg(
+        F.count(F.lit(1)).alias("_r"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_tc"),
+    )
+    w_all = Window.partitionBy()  # over the n_buckets-row stats relation only
+    stats = stats.select(
+        "_bucket",
+        (
+            F.round(
+                (
+                    F.log((F.col("_tc") + 1.0) / (F.sum("_tc").over(w_all) + n_buckets))
+                    - F.log((F.col("_r") + 1.0) / (F.sum("_r").over(w_all) + n_buckets))
+                )
+                * 1000000.0,
+                0,
+            ).cast("long")
+        ).alias("_lr_micro"),
+    )
+    doc_w = (
+        exploded.join(F.broadcast(stats), "_bucket")
+        .groupBy(id_col)
+        .agg(F.sum("_lr_micro").alias("weight_micro"))
+    )
+    u = (
+        hash64(F.concat(F.lit(f"{seed}:g:"), F.col(id_col).cast("string"))) + 1.0
+    ) / float((1 << 60) + 1)
+    scored = (
+        df.select(id_col, group_col)
+        .join(doc_w, id_col, "left")
+        .select(
+            id_col,
+            group_col,
+            F.coalesce("weight_micro", F.lit(0)).cast("long").alias("weight_micro"),
+            F.round(-F.log(-F.log(u)) * 1000000.0, 0).cast("long").alias("gumbel_micro"),
+        )
+        .withColumn("key_micro", F.col("weight_micro") + F.col("gumbel_micro"))
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col("key_micro").desc(), F.col(id_col).asc()
+    )
+    w_grp = Window.partitionBy(group_col)
+    return scored.select(
+        id_col,
+        group_col,
+        "weight_micro",
+        "gumbel_micro",
+        "key_micro",
+        F.when(
+            F.row_number().over(w_rank)
+            <= F.ceil(F.count(F.lit(1)).over(w_grp) * keep_frac),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("selected"),
+    )

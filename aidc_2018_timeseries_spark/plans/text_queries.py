@@ -1114,3 +1114,79 @@ def text_heavy_hitters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(viol))
         .select("n_tokens", "n_true_hh", "n_missed", "n_bound_violations")
     )
+
+
+# --- DSIR: importance-resampled data selection ----------------------------
+_DSIR_BUCKETS = 256
+_DSIR_KEEP = 0.2
+_DSIR_U_DENOM = "1152921504606846977.0"  # 2^60 + 1 as a double literal
+
+
+@register(
+    "text_dsir_selection",
+    f"""
+    WITH d AS (SELECT doc_id, source, lang = 'en' AS t, {{toks}} AS toks
+               FROM documents),
+    bgs AS (SELECT doc_id, t,
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1]) AS bg
+            FROM d),
+    ex AS (SELECT doc_id, t,
+                  CAST(CONCAT('0x', SUBSTR(MD5('dsir:' || g.b), 1, 15)) AS BIGINT)
+                    % {_DSIR_BUCKETS} AS bucket
+           FROM bgs, UNNEST(bg) AS g(b)),
+    st AS (SELECT bucket, COUNT(*) AS r, COUNT(*) FILTER (t) AS tc
+           FROM ex GROUP BY bucket),
+    lr AS (SELECT bucket,
+                  CAST(ROUND((LN((tc + 1.0) / (SUM(tc) OVER () + {_DSIR_BUCKETS}))
+                              - LN((r + 1.0) / (SUM(r) OVER () + {_DSIR_BUCKETS})))
+                             * 1000000.0, 0) AS BIGINT) AS lr_micro
+           FROM st),
+    dw AS (SELECT doc_id, CAST(SUM(lr_micro) AS BIGINT) AS w
+           FROM ex JOIN lr USING (bucket) GROUP BY doc_id),
+    sc AS (SELECT d.doc_id, d.source,
+                  CAST(COALESCE(dw.w, 0) AS BIGINT) AS weight_micro,
+                  CAST(ROUND(-LN(-LN(
+                        (CAST(CONCAT('0x', SUBSTR(MD5('dsir:g:'
+                              || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         + 1.0) / {_DSIR_U_DENOM}))
+                       * 1000000.0, 0) AS BIGINT) AS gumbel_micro
+           FROM d LEFT JOIN dw USING (doc_id)),
+    k AS (SELECT *, weight_micro + gumbel_micro AS key_micro FROM sc)
+    SELECT doc_id, source, weight_micro, gumbel_micro, key_micro,
+           CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY key_micro DESC, doc_id ASC)
+                     <= CEIL(COUNT(*) OVER (PARTITION BY source) * {_DSIR_KEEP})
+                THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM k
+    """.replace("{toks}", _TOKS),
+    doc="DSIR — Data Selection via Importance Resampling (Xie et al. "
+    "2023): per-document importance weight = sum over its hashed word-"
+    "bigram occurrences of the add-one-smoothed log-likelihood ratio "
+    "between the TARGET domain's bucket model (here lang='en' — the "
+    "domain-matching step of assembling a training mix) and the raw "
+    "corpus's; Gumbel-top-k resampling via a hash-derived uniform makes "
+    "the paper's sampling deterministic. Log-ratios are micro-scaled to "
+    "INTEGERS once per bucket, so each document weight is an exact "
+    "BIGINT sum — summation order provably cannot move it, a stronger "
+    "contract than the repo's 6-dp rounding convention. Selection ranks "
+    "within source (the deployment shard), keeping the top-k window "
+    "partitioned rather than a global single-task sort; ceil(0.2 * n) "
+    "per source. Plan: one bucket-keyed shuffle (256 keys, map-side "
+    "combined) builds both models in a single aggregate; the bucket "
+    "relation broadcasts back; one id-keyed shuffle sums integer "
+    "weights; rank is a source-partitioned window",
+)
+def text_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import aidc_2018_timeseries_spark.operators.dedup as dd
+
+    d = dd._spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return tx.dsir_selection(
+        d.withColumn("_is_target", F.col("lang") == "en"),
+        id_col="doc_id",
+        text_col="text",
+        target_col="_is_target",
+        group_col="source",
+        n_buckets=_DSIR_BUCKETS,
+        keep_frac=_DSIR_KEEP,
+    )
