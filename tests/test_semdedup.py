@@ -177,3 +177,32 @@ def test_semdedup_near_identical_cross_cluster_pair_not_grouped(spark):
     out = semdedup_verdicts(_corpus(spark, vecs, labels), threshold=TAU).collect()
     g = {r["vec_id"]: r["group_id"] for r in out}
     assert g[0] != g[1]
+
+
+def test_semdedup_arrow_form_matches_fold_form(spark, sf_dir):
+    """The deployment form (GEMM assignment + per-cluster GEMM pair stage)
+    must reproduce the oracle-checked fold form exactly — divergence needs
+    a true accumulation-order error crossing the 5e-7 rounding boundary."""
+    from aidc_2018_timeseries_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fold = semdedup_verdicts(e, threshold=0.35).collect()
+    gemm = semdedup_verdicts(e, threshold=0.35, arrow=True).collect()
+    assert sorted(map(tuple, fold)) == sorted(map(tuple, gemm))
+
+
+def test_semdedup_arrow_form_matches_on_planted_corpus(spark):
+    vecs, labels = _planted(seed=23, n_clusters=4, per_cluster=10)
+    df = _corpus(spark, vecs, labels)
+    fold = semdedup_verdicts(df, threshold=TAU).collect()
+    gemm = semdedup_verdicts(df, threshold=TAU, arrow=True).collect()
+    assert sorted(map(tuple, fold)) == sorted(map(tuple, gemm))
+
+
+def test_semdedup_arrow_zero_vector_and_singleton_clusters(spark):
+    vecs, labels = _planted(seed=31, n_clusters=2, per_cluster=3, dim=8)
+    vecs.append([0.0] * 8)
+    labels.append(1)
+    out = semdedup_verdicts(_corpus(spark, vecs, labels), threshold=TAU, arrow=True)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert len(vecs) - 1 not in ids and ids == set(range(len(vecs) - 1))
