@@ -132,6 +132,12 @@ HEADLINE = [
     # single face by design, it belongs on the radar)
     "knn_ivf_persisted_eval",
     "llm_corpus_pipeline",
+    # added round 8b (subtract when comparing against earlier totals):
+    # the two new curation capabilities — SemDeDup (fold form, the
+    # oracle-checked face; iterative-CC composition like
+    # dedup_keep_best_quality) and DSIR importance-resampled selection
+    "dedup_semdedup",
+    "text_dsir_selection",
 ]
 
 
