@@ -390,7 +390,7 @@ def _cc_oracle() -> str:
     edges AS (SELECT id_a AS u, id_b AS v FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
     reach(node, root) AS (
-      SELECT doc_id, doc_id FROM sh
+      SELECT doc_id, doc_id FROM documents
       UNION
       SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)
     SELECT node AS doc_id, MIN(root) AS component_id FROM reach GROUP BY node
@@ -411,15 +411,20 @@ def _cc_oracle() -> str:
     "regime (SCALING.md round-6 crossover table)",
 )
 def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # Vertex set = ALL doc ids (the keep_best_quality r8 rewrite): edge
+    # endpoints always have shingles, so shingle-less docs exit CC as
+    # their own singletons — the earlier shingle-size vertex filter only
+    # bought a second full-corpus shingle pass that Catalyst pushed below
+    # any spread into the single scan task of a one-file corpus. The
+    # oracle's reach base moved from sh to documents in the same commit,
+    # making the docstring's "every doc labeled" literally true on
+    # corpora with shingle-less docs.
+    d = dd._spread(load_table(spark, sf_dir, "documents"), "doc_id")
     pairs = dd.minhash_candidate_pairs(
         d, "doc_id", "text", num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=_SHINGLE_N
     )
-    nodes = d.select("doc_id").where(
-        F.size(shingle_hashes(F.col("text"), n=_SHINGLE_N)) > 0
-    )
     return connected_components(
-        nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+        d.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
     ).select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
 
 
