@@ -572,10 +572,11 @@ _SEMDEDUP_TAU = 0.35  # testdata max pairwise sim ≈0.51 — the paper's 0.95+
                       # _LSH_THRESHOLD in plans/dedup_queries.py)
 
 
-@register(
-    "dedup_semdedup",
-    f"""
-    WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+def _semdedup_ctes() -> str:
+    """Shared WITH-clause body of the SemDeDup recipe — assignment,
+    within-cluster ≥ τ pairs, closure (reach/grp) — reused verbatim by
+    the face oracle and its quality-eval twin (one source of truth)."""
+    return f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     compc AS (
       SELECT label, s.i AS i, ROUND(SUM(e[s.i]) / COUNT(*), 6) AS c
       FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) ve,
@@ -609,7 +610,13 @@ _SEMDEDUP_TAU = 0.35  # testdata max pairwise sim ≈0.51 — the paper's 0.95+
       SELECT vec_id, vec_id FROM a2
       UNION
       SELECT e.w, r.root FROM reach r JOIN edges e ON e.u = r.node),
-    grp AS (SELECT node AS vec_id, MIN(root) AS group_id FROM reach GROUP BY node),
+    grp AS (SELECT node AS vec_id, MIN(root) AS group_id FROM reach GROUP BY node)"""
+
+
+@register(
+    "dedup_semdedup",
+    f"""
+    WITH RECURSIVE {_semdedup_ctes()},
     ranked AS (
       SELECT a2.vec_id, a2.cluster, a2.cent_sim, grp.group_id,
              ROW_NUMBER() OVER (PARTITION BY grp.group_id
@@ -635,3 +642,90 @@ _SEMDEDUP_TAU = 0.35  # testdata max pairwise sim ≈0.51 — the paper's 0.95+
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return sim.semdedup_verdicts(e, threshold=_SEMDEDUP_TAU)
+
+
+@register(
+    "dedup_semdedup_eval",
+    f"""
+    WITH RECURSIVE {_semdedup_ctes()},
+    truth AS (
+      SELECT x.vec_id AS ia, y.vec_id AS ib
+      FROM a2 x JOIN a2 y ON x.vec_id < y.vec_id
+      WHERE ROUND(list_dot_product(x.e, y.e)
+                  / (SQRT(list_dot_product(x.e, x.e))
+                     * SQRT(list_dot_product(y.e, y.e))), 6) >= {_SEMDEDUP_TAU}),
+    cap AS (
+      SELECT COUNT(*) AS true_pairs,
+             COALESCE(SUM(CASE WHEN g1.group_id = g2.group_id
+                          THEN 1 ELSE 0 END), 0) AS captured_pairs
+      FROM truth t
+      JOIN grp g1 ON g1.vec_id = t.ia
+      JOIN grp g2 ON g2.vec_id = t.ib),
+    st AS (SELECT COUNT(*) AS n_vectors,
+                  COUNT(DISTINCT group_id) AS n_groups
+           FROM grp)
+    SELECT CAST(st.n_vectors AS BIGINT) AS n_vectors,
+           CAST(st.n_groups AS BIGINT) AS n_groups,
+           CAST(st.n_vectors - st.n_groups AS BIGINT) AS pruned,
+           CAST(cap.true_pairs AS BIGINT) AS true_pairs,
+           CAST(cap.captured_pairs AS BIGINT) AS captured_pairs,
+           ROUND(CASE WHEN cap.true_pairs = 0 THEN 1.0
+                      ELSE cap.captured_pairs * 1.0 / cap.true_pairs END,
+                 6) AS recall
+    FROM st CROSS JOIN cap
+    """,
+    doc="SemDeDup quality scorecard, ORACLE-CHECKED (the knn_*_eval "
+    "pattern applied to semantic dedup): the method's KNOWN approximation "
+    "is cluster bucketing — a ≥ tau pair whose endpoints are assigned to "
+    "DIFFERENT clusters is never scored — so this face measures exactly "
+    "that: global brute-force ≥ tau pairs (the truth arm, quadratic in "
+    "the corpus BY DESIGN — at 100 TB this runs on a sampled stratum "
+    "like the ANN eval twins) vs pairs whose endpoints share a SemDeDup "
+    "group, in one hash-checked row "
+    "(n_vectors/n_groups/pruned/true_pairs/captured_pairs/recall). "
+    "Honest numbers: 0.26 at sf0.01 — tau=0.35 sits BELOW any cluster "
+    "structure on this near-uniform testdata, so cross-cluster misses "
+    "dominate (the measurement working as intended) — vs 0.95 on the "
+    "planted-copy emb10 corpus at the paper's tau=0.9 regime "
+    "(tools/bench_semdedup.py methodology, pinned in pytest). Certifies "
+    "the fold face; the arrow deployment form is pinned equal in "
+    "tests/test_semdedup.py",
+)
+def dedup_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aidc_2018_timeseries_spark.functions.vectors import cosine_similarity
+
+    v = load_table(spark, sf_dir, "embeddings")
+    verd = sim.semdedup_verdicts(v, threshold=_SEMDEDUP_TAU)
+    ve = v.select("vec_id", F.col("embedding").cast("array<double>").alias("_e"))
+    av = verd.select("vec_id", "group_id").join(ve, "vec_id")
+    a, b = av.alias("a"), av.alias("b")
+    truth = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(F.round(cosine_similarity("a._e", "b._e"), 6) >= _SEMDEDUP_TAU)
+        .select(
+            F.col("a.group_id").alias("ga"), F.col("b.group_id").alias("gb")
+        )
+    )
+    cap = truth.agg(
+        F.count(F.lit(1)).alias("true_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("ga") == F.col("gb"), 1).otherwise(0)), F.lit(0)
+        ).alias("captured_pairs"),
+    )
+    st = verd.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("group_id").alias("n_groups"),
+    )
+    return st.crossJoin(cap).select(
+        "n_vectors",
+        "n_groups",
+        (F.col("n_vectors") - F.col("n_groups")).alias("pruned"),
+        "true_pairs",
+        "captured_pairs",
+        F.round(
+            F.when(F.col("true_pairs") == 0, F.lit(1.0)).otherwise(
+                F.col("captured_pairs") / F.col("true_pairs")
+            ),
+            6,
+        ).alias("recall"),
+    )
