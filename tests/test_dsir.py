@@ -153,3 +153,22 @@ def test_dsir_target_lookalikes_score_above_off_domain(spark):
     assert out[4] > out[5]
     assert out[4] > out[6]
     assert out[4] > out[3]
+
+
+def test_dsir_edge_corpora(spark):
+    """Empty corpus and all-featureless corpora must not throw; selection
+    quota still holds (ceil of an all-zero-weight group ranks by gumbel)."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, grp string, text string, is_target boolean"
+    )
+    assert dsir_selection(
+        empty, "doc_id", "text", "is_target", "grp", n_buckets=B, keep_frac=0.5
+    ).count() == 0
+
+    bare = _df(spark, [(1, "s0", "x", False), (2, "s0", "", True)])
+    rows = dsir_selection(
+        bare, "doc_id", "text", "is_target", "grp", n_buckets=B, keep_frac=0.5
+    ).collect()
+    assert len(rows) == 2
+    assert all(r["weight_micro"] == 0 for r in rows)
+    assert sum(r["selected"] for r in rows) == 1

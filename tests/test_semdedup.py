@@ -228,3 +228,23 @@ def test_semdedup_recall_near_one_on_planted_duplicates(spark):
     assert len(ia) > 0
     captured = sum(1 for a, b in zip(ia, ib) if grp[a] == grp[b])
     assert captured / len(ia) >= 0.9
+
+
+@pytest.mark.parametrize("arrow", [False, True])
+def test_semdedup_edge_corpora(spark, arrow):
+    """Empty corpus, single vector, and all-identical vectors must not
+    throw and must keep exactly one per group."""
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert semdedup_verdicts(empty, threshold=TAU, arrow=arrow).count() == 0
+
+    single = _corpus(spark, [[1.0] + [0.0] * 7], [0])
+    rows = semdedup_verdicts(single, threshold=TAU, arrow=arrow).collect()
+    assert len(rows) == 1 and rows[0]["keep"] == 1
+
+    same = _corpus(spark, [[1.0, 2.0, 3.0]] * 5, [0] * 5)
+    rows = semdedup_verdicts(same, threshold=TAU, arrow=arrow).collect()
+    assert len(rows) == 5
+    assert sum(r["keep"] for r in rows) == 1
+    assert len({r["group_id"] for r in rows}) == 1
