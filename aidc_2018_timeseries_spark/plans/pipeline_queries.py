@@ -896,3 +896,87 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in counts
     }
     return upweight_mixture(d, "doc_id", "source", weights, seed="temp")
+
+
+# --- composed semantic curation: SemDeDup ∩ DSIR (round 8) ---------------
+def _semantic_curation_oracle() -> str:
+    """Compose the two round-8 capability oracles verbatim (their CTE
+    bodies are the single sources of truth in similarity_queries /
+    text_queries): SemDeDup keep verdicts over embeddings joined 1:1 to
+    DSIR per-source selection over documents — the 'curate by geometry,
+    select by domain' chain."""
+    from aidc_2018_timeseries_spark.plans.similarity_queries import _semdedup_ctes
+    from aidc_2018_timeseries_spark.plans.text_queries import _dsir_ctes
+
+    return f"""
+    WITH RECURSIVE {_semdedup_ctes()},
+    ranked AS (
+      SELECT a2.vec_id, grp.group_id,
+             ROW_NUMBER() OVER (PARTITION BY grp.group_id
+                                ORDER BY a2.cent_sim ASC, a2.vec_id ASC) AS rn
+      FROM a2 JOIN grp USING (vec_id)),
+    sem AS (SELECT vec_id AS doc_id,
+                   CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT)
+                     AS semantic_keep
+            FROM ranked),
+    {_dsir_ctes()}
+    SELECT s.doc_id, s.source, s.weight_micro,
+           COALESCE(sem.semantic_keep, 0) AS semantic_keep,
+           s.selected AS dsir_selected,
+           CAST(CASE WHEN COALESCE(sem.semantic_keep, 0) = 1
+                      AND s.selected = 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS final_keep
+    FROM dsel s LEFT JOIN sem USING (doc_id)
+    """
+
+
+@register(
+    "llm_semantic_curation_pipeline",
+    _semantic_curation_oracle(),
+    doc="composed curation chain over BOTH modalities of the same corpus "
+    "(doc_id ≡ vec_id in the testdata): SemDeDup keep verdicts from the "
+    "embedding side (cluster-bucketed semantic dedup) joined 1:1 onto "
+    "DSIR per-source importance selection from the text side; "
+    "final_keep = survived semantic dedup AND won the domain-matching "
+    "resample — the two-stage recipe production corpora run between "
+    "crawl and tokenize. Zero-norm vectors (no semantic verdict) default "
+    "to semantic_keep = 0, mirrored by the oracle's COALESCE. The join "
+    "is id-keyed (embedding verdicts are a narrow relation — verdict "
+    "bits, never vector bodies, cross the shuffle); each side keeps its "
+    "own operator's scale shape (SCALING.md round-8 decades for both)",
+)
+def llm_semantic_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import aidc_2018_timeseries_spark.operators.dedup as dd
+    from aidc_2018_timeseries_spark.operators import similarity as sim
+    from aidc_2018_timeseries_spark.operators import text as tx
+    from aidc_2018_timeseries_spark.plans.similarity_queries import _SEMDEDUP_TAU
+    from aidc_2018_timeseries_spark.plans.text_queries import _DSIR_BUCKETS, _DSIR_KEEP
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sem = sim.semdedup_verdicts(e, threshold=_SEMDEDUP_TAU).select(
+        F.col("vec_id").alias("doc_id"), F.col("keep").alias("semantic_keep")
+    )
+    d = dd._spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    dsel = tx.dsir_selection(
+        d.withColumn("_is_target", F.col("lang") == "en"),
+        id_col="doc_id",
+        text_col="text",
+        target_col="_is_target",
+        group_col="source",
+        n_buckets=_DSIR_BUCKETS,
+        keep_frac=_DSIR_KEEP,
+    ).select("doc_id", "source", "weight_micro", F.col("selected").alias("dsir_selected"))
+    return dsel.join(sem, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "weight_micro",
+        F.coalesce("semantic_keep", F.lit(0)).cast("long").alias("semantic_keep"),
+        "dsir_selected",
+        F.when(
+            (F.coalesce("semantic_keep", F.lit(0)) == 1) & (F.col("dsir_selected") == 1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("final_keep"),
+    )

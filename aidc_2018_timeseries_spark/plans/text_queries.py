@@ -1122,10 +1122,12 @@ _DSIR_KEEP = 0.2
 _DSIR_U_DENOM = "1152921504606846977.0"  # 2^60 + 1 as a double literal
 
 
-@register(
-    "text_dsir_selection",
-    f"""
-    WITH d AS (SELECT doc_id, source, lang = 'en' AS t, {{toks}} AS toks
+def _dsir_ctes() -> str:
+    """Shared WITH-clause body of the DSIR construction — bucket models,
+    integer micro-weights, gumbel keys, per-source selection (relation
+    ``dsel``) — reused verbatim by the face oracle and the composed
+    semantic-curation pipeline (plans/pipeline_queries.py)."""
+    return f"""d AS (SELECT doc_id, source, lang = 'en' AS t, {{toks}} AS toks
                FROM documents),
     bgs AS (SELECT doc_id, t,
                    list_transform(range(1, len(toks)),
@@ -1152,14 +1154,23 @@ _DSIR_U_DENOM = "1152921504606846977.0"  # 2^60 + 1 as a double literal
                          + 1.0) / {_DSIR_U_DENOM}))
                        * 1000000.0, 0) AS BIGINT) AS gumbel_micro
            FROM d LEFT JOIN dw USING (doc_id)),
-    k AS (SELECT *, weight_micro + gumbel_micro AS key_micro FROM sc)
-    SELECT doc_id, source, weight_micro, gumbel_micro, key_micro,
-           CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY source
-                            ORDER BY key_micro DESC, doc_id ASC)
-                     <= CEIL(COUNT(*) OVER (PARTITION BY source) * {_DSIR_KEEP})
-                THEN 1 ELSE 0 END AS BIGINT) AS selected
-    FROM k
-    """.replace("{toks}", _TOKS),
+    kk AS (SELECT *, weight_micro + gumbel_micro AS key_micro FROM sc),
+    dsel AS (
+      SELECT doc_id, source, weight_micro, gumbel_micro, key_micro,
+             CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY key_micro DESC, doc_id ASC)
+                       <= CEIL(COUNT(*) OVER (PARTITION BY source) * {_DSIR_KEEP})
+                  THEN 1 ELSE 0 END AS BIGINT) AS selected
+      FROM kk)""".replace("{toks}", _TOKS)
+
+
+@register(
+    "text_dsir_selection",
+    f"""
+    WITH {_dsir_ctes()}
+    SELECT doc_id, source, weight_micro, gumbel_micro, key_micro, selected
+    FROM dsel
+    """,
     doc="DSIR — Data Selection via Importance Resampling (Xie et al. "
     "2023): per-document importance weight = sum over its hashed word-"
     "bigram occurrences of the add-one-smoothed log-likelihood ratio "
