@@ -268,13 +268,29 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured: the r7 dup-10x decade's 125-145s was ~85% this layout
     # artifact, 20.0s once spread — SCALING.md round-8 correction). At
     # 100 TB the input has thousands of splits and this is a no-op.
-    d = dd._spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    raw = load_table(spark, sf_dir, "documents")
+    under = (
+        raw.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    )
+    d = dd._spread(raw, "doc_id") if under else raw
     scored = d.select(
         "doc_id",
         "text",
         F.round(tx.quality_score("text"), 6).alias("quality"),
         tx.lang_id("text").alias("lang_pred"),
     )
+    if under:
+        # Catalyst pushes the quality/lang PREDICATE below the spread
+        # exchange into the (single-task) scan — the filter-pushdown
+        # sibling of the layout artifact above, found on
+        # dedup_keep_best_quality this round. A lazy checkpoint of the
+        # post-spread scored projection puts a barrier under the filter,
+        # so the scoring runs distributed and `pre` below needs no
+        # checkpoint of its own (its consumers re-run only the cheap
+        # filter over this materialization). On a well-split corpus the
+        # pushdown is the RIGHT plan — scoring runs inside a parallel
+        # scan — so the barrier is gated exactly like the spread.
+        scored = scored.localCheckpoint(eager=False)
     # Gopher-complete curation gate (round 6): min-length (>= 20 tokens,
     # which also makes the repetition verdict well-defined and
     # non-trivial) + the repetition filter, composed with the quality
@@ -293,7 +309,11 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline materializes its curated corpus at exactly this point.
     pre = scored.where(
         (F.col("quality") >= _Q_THRESHOLD) & (F.col("lang_pred") == "en")
-    ).localCheckpoint(eager=False)
+    )
+    if not under:
+        # scored has no barrier in this branch — materialize the gate
+        # survivors once, as before (see the block comment above).
+        pre = pre.localCheckpoint(eager=False)
     rep = tx.repetition_signals(
         pre.select("doc_id", "text"), "doc_id", "text"
     ).select("doc_id", "n_words", "repetitive")
