@@ -42,6 +42,13 @@ _NESTED_LOOP_OK = {
     # (constant-size build side — the router table a serving tier holds).
     "knn_ivf_persisted_eval",
     "knn_ivf",  # centroid assignment broadcasts the centroid set
+    # SemDeDup scorecard: the truth arm is global brute-force >= tau
+    # pairs — quadratic BY DESIGN (the face's docstring says it runs on a
+    # sampled stratum at scale, like the ANN eval twins) — and the
+    # non-equi id_a < id_b condition makes the broadcast nested loop the
+    # intended plan. The measured face (dedup_semdedup) carries no
+    # nested loop; only its scorecard does.
+    "dedup_semdedup_eval",
     # k-means assignment: the broadcast side is the k-centroid table
     # (k × dim values — constant-size at any corpus scale); every vector
     # must score against every centroid by definition, so the nested loop
