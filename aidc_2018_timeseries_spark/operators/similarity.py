@@ -1267,17 +1267,34 @@ def semdedup_verdicts(
         ).localCheckpoint(eager=True)
         pairs = _semdedup_cluster_pairs_arrow(assigned, threshold, id_col, vec_col)
     else:
+        # Norms are computed ONCE per vector/centroid and carried as
+        # columns: cosine_similarity would re-run the l2_norm fold per
+        # PAIR (three interpreted HOF folds each — ~1.2M folds on the
+        # sf0.1 pair stage), and the fold over the same array yields the
+        # same double, so dot/(na*nb) is bit-identical to the guarded
+        # per-pair form while paying one fold per pair instead of three.
         v = _spread(vectors, id_col).select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("_e")
-        )
+        ).withColumn("_n", l2_norm("_e"))
         cents = centroid_means(
             vectors, group_col=cluster_col, id_col=id_col, vec_col=vec_col
-        ).select(F.col(cluster_col).alias("_cl"), "centroid_vec")
+        ).select(
+            F.col(cluster_col).alias("_cl"),
+            "centroid_vec",
+            l2_norm("centroid_vec").alias("_cn"),
+        )
         scored = v.crossJoin(F.broadcast(cents)).select(
             id_col,
             "_e",
+            "_n",
             "_cl",
-            F.round(cosine_similarity("_e", "centroid_vec"), 6).alias("cent_sim"),
+            F.round(
+                F.when(
+                    (F.col("_n") > 0) & (F.col("_cn") > 0),
+                    dot("_e", "centroid_vec") / (F.col("_n") * F.col("_cn")),
+                ),
+                6,
+            ).alias("cent_sim"),
         )
         w_assign = Window.partitionBy(id_col).orderBy(
             F.col("cent_sim").desc(), F.col("_cl").asc()
@@ -1286,21 +1303,31 @@ def semdedup_verdicts(
             scored.filter(F.col("cent_sim").isNotNull())
             .withColumn("_rk", F.row_number().over(w_assign))
             .filter(F.col("_rk") == 1)
-            .select(id_col, F.col("_cl").cast("long").alias("cluster"), "cent_sim", "_e")
+            .select(
+                id_col, F.col("_cl").cast("long").alias("cluster"), "cent_sim", "_e", "_n"
+            )
             .localCheckpoint(eager=True)
         )
         a, b = assigned.alias("a"), assigned.alias("b")
+        # both norms are > 0 here by construction (zero-norm vectors never
+        # pass the cent_sim IS NOT NULL filter), so the guard is free
         pairs = (
             a.join(
                 b,
                 (F.col("a.cluster") == F.col("b.cluster"))
                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
-            .filter(F.round(cosine_similarity("a._e", "b._e"), 6) >= threshold)
+            .filter(
+                F.round(
+                    dot("a._e", "b._e") / (F.col("a._n") * F.col("b._n")), 6
+                )
+                >= threshold
+            )
             .select(
                 F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
             )
         )
+        assigned = assigned.drop("_n")
     from aidc_2018_timeseries_spark.operators.graph import connected_components
 
     groups = connected_components(
