@@ -85,36 +85,10 @@ def connected_components(
             msgs = und.join(labels, und["u"] == labels["node"]).select(
                 F.col("v").alias("node"), F.col("label")
             )
-            nm = (
+            labels = (
                 labels.unionByName(msgs)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
-            )
-            # Pointer-jump step (round 8): label ← min(label, label's label
-            # from the PREVIOUS round). Plain neighbor-min converges in
-            # diameter rounds, and semantic-dedup graphs are CHAINS, not
-            # cliques — measured 19 rounds on dedup_semdedup's sf0.1 graph
-            # vs 13 with the jump (6.8 → 4.3s, labels identical; the
-            # current-round jump variant needs a second checkpoint per
-            # round and measured no faster). The invariant is unchanged —
-            # labels are reachable node ids and only decrease — so the
-            # fixpoint and the sum-based convergence check are the same.
-            # Cost on clique-like dedup graphs: one extra (node, label)
-            # join per round against the already-checkpointed table —
-            # same shuffle class as the round itself. The O(log n)
-            # alternating-star upgrade (Kiveris et al.) remains the
-            # documented escalation for adversarial graphs.
-            jump = labels.select(
-                F.col("node").alias("_ln"), F.col("label").alias("_ll")
-            )
-            labels = (
-                nm.join(jump, nm["label"] == jump["_ln"], "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("label"), F.coalesce("_ll", "label")
-                    ).alias("label"),
-                )
                 .localCheckpoint(eager=True)
             )
             cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
