@@ -58,11 +58,27 @@ def brute_force_topk(
 
     Rank is deterministic: similarity rounded to 6 dp desc, then neighbor
     id asc — float ulp noise cannot flip the ordering.
+
+    Norms are computed ONCE per corpus vector and once per query (the
+    round-8 norm-once contract, see semdedup_verdicts): the guarded
+    per-pair cosine would re-run the l2_norm fold n_queries times per
+    vector, and the fold over the same array yields the same double, so
+    ``dot/(nv*nq)`` behind the same zero-norm guard is bit-identical
+    while paying one fold per pair instead of three.
     """
-    joined = _spread(vectors, id_col).crossJoin(F.broadcast(queries)).filter(
+    v = _spread(vectors, id_col).withColumn("_nv", l2_norm(vec_col))
+    q = queries.withColumn("_nq", l2_norm(query_vec_col))
+    joined = v.crossJoin(F.broadcast(q)).filter(
         F.col(id_col) != F.col(query_id_col)
     )
-    sim = F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
+    sim = F.round(
+        F.when(
+            (F.col("_nv") > 0) & (F.col("_nq") > 0),
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("_nv") * F.col("_nq")),
+        ),
+        6,
+    )
     scored = joined.select(
         F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("sim")
     ).filter(
