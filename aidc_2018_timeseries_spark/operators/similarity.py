@@ -521,9 +521,32 @@ def embedding_lsh_dup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    sim = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+    # Norm-once rescore (round 8): the guarded per-pair cosine re-runs
+    # the l2_norm fold for BOTH vectors of every candidate pair — the
+    # measured wall of the output-bound decade regime (three interpreted
+    # folds ≈ 100µs/pair, 417s at 10.9M true pairs). Norms computed once
+    # per corpus vector ride the same marshalling joins; the fold over
+    # the same array yields the same double, so the guarded dot/(na*nb)
+    # is bit-identical to cosine_similarity and the oracle contract
+    # holds. (The GEMM sibling embedding_lsh_dup_pairs_gemm remains the
+    # deployment form; this narrows the gap while staying oracle-exact.)
+    va = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(vec_col).alias("_na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(vec_col).alias("_nb"),
+    )
+    sim = F.round(
+        F.when(
+            (F.col("_na") > 0) & (F.col("_nb") > 0),
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        ),
+        6,
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
