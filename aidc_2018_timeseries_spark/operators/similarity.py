@@ -107,8 +107,20 @@ def assign_centroids(
     One scan over the corpus; output is the inverted file — at scale you
     write it back partitioned/bucketed by centroid_id so probes prune files.
     """
-    joined = _spread(vectors, id_col).crossJoin(F.broadcast(centroids))
-    sim = F.round(cosine_similarity(F.col(vec_col), F.col(centroid_vec_col)), 6)
+    # norm-once (round 8): one l2_norm fold per vector / per centroid
+    # instead of per (vector, centroid) pair — bit-identical (see
+    # brute_force_topk)
+    v = _spread(vectors, id_col).withColumn("_nv", l2_norm(vec_col))
+    c = centroids.withColumn("_nc", l2_norm(centroid_vec_col))
+    joined = v.crossJoin(F.broadcast(c))
+    sim = F.round(
+        F.when(
+            (F.col("_nv") > 0) & (F.col("_nc") > 0),
+            dot(F.col(vec_col), F.col(centroid_vec_col))
+            / (F.col("_nv") * F.col("_nc")),
+        ),
+        6,
+    )
     return (
         joined.select(F.col(id_col), F.col(vec_col), F.col(centroid_id_col), sim.alias("csim"))
         # zero-norm vectors have NO nearest centroid (cosine undefined →
@@ -305,18 +317,31 @@ def ivf_topk(
             queries, cents, n_probe, query_id_col, query_vec_col
         )
     else:
-        qc = queries.crossJoin(F.broadcast(cents))
-        qsim = F.round(cosine_similarity(F.col(query_vec_col), F.col("centroid_vec")), 6)
+        # norm-once routing and rescore (round 8, bit-identical — see
+        # brute_force_topk): query/centroid/vector norms are computed
+        # once each and carried as columns through the probe join
+        qn = queries.withColumn("_nq", l2_norm(query_vec_col))
+        cn = cents.withColumn("_nc", l2_norm("centroid_vec"))
+        qc = qn.crossJoin(F.broadcast(cn))
+        qsim = F.round(
+            F.when(
+                (F.col("_nq") > 0) & (F.col("_nc") > 0),
+                dot(F.col(query_vec_col), F.col("centroid_vec"))
+                / (F.col("_nq") * F.col("_nc")),
+            ),
+            6,
+        )
         wq = Window.partitionBy(query_id_col).orderBy(F.col("qsim").desc(), F.col("centroid_id"))
         probes = (
-            qc.select(F.col(query_id_col), F.col(query_vec_col), F.col("centroid_id"), qsim.alias("qsim"))
+            qc.select(F.col(query_id_col), F.col(query_vec_col), F.col("_nq"), F.col("centroid_id"), qsim.alias("qsim"))
             # zero-norm query/centroid → NULL cosine: drop before ranking so a
             # degenerate query probes nothing instead of n_probe arbitrary cells
             .filter(F.col("qsim").isNotNull())
             .withColumn("rk", F.row_number().over(wq))
             .filter(F.col("rk") <= n_probe)
-            .select(query_id_col, query_vec_col, "centroid_id")
+            .select(query_id_col, query_vec_col, "_nq", "centroid_id")
         )
+        inverted = inverted.withColumn("_nv", l2_norm(vec_col))
     # probe join: only vectors in probed cells are scored
     cand = probes.join(inverted, "centroid_id").filter(F.col(id_col) != F.col(query_id_col))
     if arrow:
@@ -324,7 +349,14 @@ def ivf_topk(
             cand, id_col, vec_col, query_id_col, query_vec_col
         )
     else:
-        sim = F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
+        sim = F.round(
+            F.when(
+                (F.col("_nv") > 0) & (F.col("_nq") > 0),
+                dot(F.col(vec_col), F.col(query_vec_col))
+                / (F.col("_nv") * F.col("_nq")),
+            ),
+            6,
+        )
         scored = cand.select(
             F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("sim")
         ).filter(F.col("sim").isNotNull())  # match brute_force_topk's NULL policy
@@ -347,10 +379,25 @@ def embedding_cosine_dup_pairs(
     Brute-force form (correctness baseline). The scale path reuses the IVF
     partitioning: compare only within a cell and its neighbor cells.
     """
-    left = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    right = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    left = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(vec_col).alias("_na"),
+    )
+    right = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(vec_col).alias("_nb"),
+    )
     pairs = left.join(right, F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    # norm-once, bit-identical to the guarded per-pair cosine (round 8)
+    sim = F.round(
+        F.when(
+            (F.col("_na") > 0) & (F.col("_nb") > 0),
+            dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+        ),
+        6,
+    )
     return pairs.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
 
 
@@ -660,13 +707,24 @@ def rp_lsh_topk(
         .distinct()
         .filter(F.col(id_col) != F.col(query_id_col))
     )
+    # norm-once rescore (round 8, bit-identical — see brute_force_topk)
     scored = (
-        cand.join(vectors.select(id_col, vec_col), id_col)
-        .join(F.broadcast(queries), query_id_col)
+        cand.join(
+            vectors.select(id_col, vec_col).withColumn("_nv", l2_norm(vec_col)),
+            id_col,
+        )
+        .join(F.broadcast(queries.withColumn("_nq", l2_norm(query_vec_col))), query_id_col)
         .select(
             F.col(query_id_col),
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6).alias("sim"),
+            F.round(
+                F.when(
+                    (F.col("_nv") > 0) & (F.col("_nq") > 0),
+                    dot(F.col(vec_col), F.col(query_vec_col))
+                    / (F.col("_nv") * F.col("_nq")),
+                ),
+                6,
+            ).alias("sim"),
         )
         .filter(F.col("sim").isNotNull())  # match brute_force_topk's NULL policy
     )
@@ -1089,22 +1147,30 @@ def ivf_probe_persisted(
             queries, centroids, n_probe, query_id_col, query_vec_col
         )
     else:
-        qc = queries.crossJoin(F.broadcast(centroids))
+        # norm-once routing (round 8, bit-identical — see brute_force_topk)
+        qn = queries.withColumn("_nq", l2_norm(query_vec_col))
+        cn = centroids.withColumn("_nc", l2_norm("centroid_vec"))
+        qc = qn.crossJoin(F.broadcast(cn))
         qsim = F.round(
-            cosine_similarity(F.col(query_vec_col), F.col("centroid_vec")), 6
+            F.when(
+                (F.col("_nq") > 0) & (F.col("_nc") > 0),
+                dot(F.col(query_vec_col), F.col("centroid_vec"))
+                / (F.col("_nq") * F.col("_nc")),
+            ),
+            6,
         )
         wq = Window.partitionBy(query_id_col).orderBy(
             F.col("qsim").desc(), F.col("centroid_id")
         )
         probes = (
             qc.select(
-                F.col(query_id_col), F.col(query_vec_col),
+                F.col(query_id_col), F.col(query_vec_col), F.col("_nq"),
                 F.col("centroid_id"), qsim.alias("qsim"),
             )
             .filter(F.col("qsim").isNotNull())
             .withColumn("rk", F.row_number().over(wq))
             .filter(F.col("rk") <= n_probe)
-            .select(query_id_col, query_vec_col, "centroid_id")
+            .select(query_id_col, query_vec_col, "_nq", "centroid_id")
         )
     # bounded router collect: n_queries × n_probe cell ids
     cell_ids = sorted(
@@ -1112,6 +1178,9 @@ def ivf_probe_persisted(
         for r in probes.select("centroid_id").distinct().collect()
     )
     pruned = index.filter(F.col("centroid_id").isin(cell_ids))
+    if not arrow:
+        # norm-once rescore: one fold per pruned index row, not per pair
+        pruned = pruned.withColumn("_nv", l2_norm(vec_col))
     cand = probes.join(pruned, "centroid_id").filter(
         F.col(id_col) != F.col(query_id_col)
     )
@@ -1120,7 +1189,14 @@ def ivf_probe_persisted(
             cand, id_col, vec_col, query_id_col, query_vec_col
         )
     else:
-        sim = F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
+        sim = F.round(
+            F.when(
+                (F.col("_nv") > 0) & (F.col("_nq") > 0),
+                dot(F.col(vec_col), F.col(query_vec_col))
+                / (F.col("_nv") * F.col("_nq")),
+            ),
+            6,
+        )
         scored = cand.select(
             F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("sim")
         ).filter(F.col("sim").isNotNull())

@@ -332,17 +332,29 @@ def knn_rp_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmeans_step_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
-    from aidc_2018_timeseries_spark.functions.vectors import cosine_similarity
+    from aidc_2018_timeseries_spark.functions.vectors import dot, l2_norm
 
-    v = load_table(spark, sf_dir, "embeddings")
-    cents = sim.centroid_means(v, group_col="label").select(
-        F.col("label").alias("c_label"), "centroid_vec"
+    v = load_table(spark, sf_dir, "embeddings").withColumn(
+        "_nv", l2_norm("embedding")
     )
+    cents = sim.centroid_means(v, group_col="label").select(
+        F.col("label").alias("c_label"),
+        "centroid_vec",
+        l2_norm("centroid_vec").alias("_nc"),
+    )
+    # norm-once form of the guarded cosine (round 8, bit-identical —
+    # see operators/similarity.brute_force_topk)
     scored = v.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "label",
         "c_label",
-        F.round(cosine_similarity("embedding", "centroid_vec"), 6).alias("sim"),
+        F.round(
+            F.when(
+                (F.col("_nv") > 0) & (F.col("_nc") > 0),
+                dot("embedding", "centroid_vec") / (F.col("_nv") * F.col("_nc")),
+            ),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("c_label"))
     return (
