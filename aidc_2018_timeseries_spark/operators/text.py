@@ -818,9 +818,24 @@ def dsir_selection(
         (hash64(F.concat(F.lit(f"{seed}:"), F.col("_bg"))) % n_buckets).alias("_bucket"),
         "_t",
     )
-    stats = exploded.groupBy("_bucket").agg(
-        F.count(F.lit(1)).alias("_r"),
-        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_tc"),
+    # Collapse occurrences to (doc, bucket, count) ONCE and materialize:
+    # the exploded relation feeds both the bucket models and the per-doc
+    # weights, and without the checkpoint the tokenize→explode→md5 corpus
+    # pass runs TWICE — attributed at the 500k-doc decade as 2 × ~55s of
+    # the face's 126s wall (SCALING.md round-8 continuation). The
+    # checkpointed relation is NARROW (two ints, a bool, a count —
+    # bounded by docs × min(bigrams/doc, n_buckets) rows, never bodies);
+    # the same executor-storage-vs-recompute trade as the ngram posting
+    # relations. Weights are unchanged: Σ cnt·lr over (doc, bucket) is
+    # the same exact BIGINT as Σ lr over occurrences.
+    docbucket = (
+        exploded.groupBy(id_col, "_bucket", "_t")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    stats = docbucket.groupBy("_bucket").agg(
+        F.sum("_cnt").alias("_r"),
+        F.sum(F.when(F.col("_t"), F.col("_cnt")).otherwise(0)).alias("_tc"),
     )
     w_all = Window.partitionBy()  # over the n_buckets-row stats relation only
     stats = stats.select(
@@ -837,9 +852,9 @@ def dsir_selection(
         ).alias("_lr_micro"),
     )
     doc_w = (
-        exploded.join(F.broadcast(stats), "_bucket")
+        docbucket.join(F.broadcast(stats), "_bucket")
         .groupBy(id_col)
-        .agg(F.sum("_lr_micro").alias("weight_micro"))
+        .agg(F.sum(F.col("_cnt") * F.col("_lr_micro")).alias("weight_micro"))
     )
     u = (
         hash64(F.concat(F.lit(f"{seed}:g:"), F.col(id_col).cast("string"))) + 1.0
