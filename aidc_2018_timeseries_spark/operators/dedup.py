@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aidc_2018_timeseries_spark.functions.hashing import hash64
+from aidc_2018_timeseries_spark.operators.partitioning import spread_for_compute
 from aidc_2018_timeseries_spark.operators.text import shingle_hashes, tokenize
 
 #: modulus for the universal hash family (prime > 2^30 shingle space)
@@ -29,19 +30,11 @@ MINHASH_PRIME = 2147483647  # 2^31 - 1
 
 
 def _spread(df: DataFrame, col: str) -> DataFrame:
-    """Repartition to an EXPLICIT partition count before compute-heavy
-    projections (md5 hashing). A small-file corpus otherwise arrives as one
-    scan task and hashes serially; and the count must be explicit because
-    AQE sizes partitions by shuffle BYTES — a few MB of doc text coalesces
-    back to one partition even though the downstream compute is the cost.
-    CONDITIONAL (round 7): when the input already has at least core-count
-    partitions — the 100 TB case, thousands of scan splits — the
-    repartition would be a pure full-corpus shuffle of document BODIES
-    with nothing to fix, so it is skipped."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n, F.col(col))
+    """Spread a small CPU-bound input across cores before md5-heavy
+    projections — shared gate; policy and scale rationale documented on
+    :func:`~aidc_2018_timeseries_spark.operators.partitioning.spread_for_compute`
+    (round 9: byte-stat gate, no forced physical planning)."""
+    return spread_for_compute(df, col)
 
 
 def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
@@ -997,14 +990,21 @@ def ngram_containment_pairs(
     """
     # Materialized once: feeds the ranked posting relation AND both sides
     # of the verify join (the jaccard-sibling pattern — without it the
-    # shingle hashing runs ~4× across self-join legs).
+    # shingle hashing runs ~4× across self-join legs). FOOTPRINT
+    # (ADVICE r7 item 4): localCheckpoint stores the full distinct-
+    # shingle relation (~n_sh int64s per doc, i.e. about the tokenized
+    # corpus size) in executor block storage — deliberate: every byte of
+    # it is consumed ≥ 3× downstream (postings build + two verify legs),
+    # and MEMORY_AND_DISK spills rather than OOMs, so at corpus scale
+    # the trade is storage-for-recompute at worst 1:3. eager=False keeps
+    # construction lazy; the first action materializes it once.
     hashed = (
         _spread(df, id_col)
         .select(
             F.col(id_col).alias("doc"),
             shingle_hashes(F.col(text_col), n=shingle_n).alias("sh"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sh = hashed.select(
         "doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
@@ -1018,11 +1018,13 @@ def ngram_containment_pairs(
     # Both the prefix side and the full-postings side derive from this
     # ranked relation — materialize so its two window shuffles compute
     # once instead of twice (storage is bounded by the exploded shingle
-    # relation, which the windows already shuffle in full either way).
+    # relation, which the windows already shuffle in full either way;
+    # same spill-not-OOM footprint note as `hashed` above). eager=False:
+    # lazy construction, materialized by the first downstream action.
     with_rk = (
         sh.withColumn("df", F.count(F.lit(1)).over(wdf))
         .withColumn("rk", F.row_number().over(w))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pref = with_rk.filter(F.col("rk") <= prefix_len).select(
         F.col("doc").alias("id_a"),

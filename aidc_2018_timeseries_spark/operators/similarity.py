@@ -27,22 +27,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aidc_2018_timeseries_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from aidc_2018_timeseries_spark.operators.partitioning import spread_for_compute
 
 
 def _spread(df: DataFrame, col: str) -> DataFrame:
-    """Repartition to an EXPLICIT partition count before compute-heavy
-    per-row work (fold dot products, GEMM batches) — the operators/
-    dedup.py pattern. A small-file corpus arrives as ONE scan task (the
-    sf0.1 embeddings table is 0.8 MB), serializing work that is CPU-bound,
-    not byte-bound; and the count must be explicit because AQE sizes
-    partitions by bytes. CONDITIONAL: when the input already has at least
-    core-count partitions (the 100 TB case — thousands of scan splits),
-    the repartition would be a pure full-corpus shuffle of vector bytes
-    with nothing to fix, so it is skipped."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n, F.col(col))
+    """Spread a small CPU-bound input across cores before fold/GEMM-heavy
+    per-row work — shared gate; policy and scale rationale documented on
+    :func:`~aidc_2018_timeseries_spark.operators.partitioning.spread_for_compute`
+    (round 9: byte-stat gate, no forced physical planning)."""
+    return spread_for_compute(df, col)
+
+
+def _round6_half_up(x):
+    """Decimal HALF_UP (away from zero) at 6 dp for NumPy arrays — the
+    ``F.round``/DuckDB ROUND convention, NOT ``np.round``'s
+    half-to-even. ``floor(|x| * 1e6 + 0.5)`` reproduces BigDecimal
+    HALF_UP everywhere except within an ulp of a ×1e6 halfway boundary,
+    where ``F.round`` rounds the double's SHORTEST DECIMAL REPR
+    (BigDecimal.valueOf); those rare rows take an exact Decimal(repr)
+    path — the same rescue the PQ kernel uses. NaN/±inf propagate
+    (callers mask zero-norm rows to NULL separately)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    ax = np.abs(x)
+    scaled = ax * 1e6
+    with np.errstate(invalid="ignore"):
+        r = np.floor(scaled + 0.5)
+        frac = scaled - np.floor(scaled)
+        res = np.sign(x) * (r / 1e6)
+        sus = np.isfinite(x) & (np.abs(frac - 0.5) < 1e-6)
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        idx = np.nonzero(sus)
+        res[idx] = [
+            float(Decimal(repr(float(v))).quantize(q6, rounding=ROUND_HALF_UP))
+            for v in x[idx]
+        ]
+    return res
 
 
 def brute_force_topk(
@@ -199,7 +223,7 @@ def assign_centroids_arrow(
                 continue
             pdf = pdf[keep].reset_index(drop=True)
             Vn = V[keep] / norms[keep]
-            S = np.round(Vn @ Mn, 6)
+            S = _round6_half_up(Vn @ Mn)
             # argmax returns the FIRST max; columns are centroid_id-ascending
             best = ids[np.argmax(S, axis=1)]
             yield pd.DataFrame(
@@ -232,8 +256,11 @@ def _score_candidates_arrow(
 ) -> DataFrame:
     """Shared Arrow candidate scorer for the IVF probe paths: one
     vectorized einsum batch over pre-joined (query, candidate) rows —
-    (query_id, neighbor_id, sim double), NULL sim dropped. Same 6-dp
-    HALF_EVEN rounding and zero-norm policy as the fold expressions."""
+    (query_id, neighbor_id, sim double), NULL sim dropped. Rounding is
+    ``_round6_half_up`` — decimal HALF_UP at 6 dp, the same convention as
+    the fold expressions' ``F.round`` (round 9 fix: ``np.round`` is
+    half-to-even and could flip a threshold/tie on a decimal halfway
+    boundary) — and the zero-norm policy matches the fold form."""
     import numpy as np
     import pandas as pd
 
@@ -250,7 +277,7 @@ def _score_candidates_arrow(
             nb = np.einsum("ij,ij->i", B, B)
             dot_ = np.einsum("ij,ij->i", A, B)
             with np.errstate(invalid="ignore", divide="ignore"):
-                s = np.round(dot_ / np.sqrt(na * nb), 6)
+                s = _round6_half_up(dot_ / np.sqrt(na * nb))
             out = pd.DataFrame(
                 {
                     query_id_col: pdf[query_id_col],
@@ -648,7 +675,7 @@ def lsh_signatures_arrow(
             if pdf.empty:
                 continue
             v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            signs = np.round(v @ P, 6) > 0  # (rows × n_planes)
+            signs = _round6_half_up(v @ P) > 0  # (rows × n_planes)
             weighted = signs * weights
             buckets = np.empty((len(pdf), len(tables)), dtype=np.int64)
             off = 0
@@ -1080,7 +1107,7 @@ def _route_queries_arrow(
             if not mask.any():
                 continue
             pdf = pdf[mask].reset_index(drop=True)
-            S = np.round((V[mask] / norms[mask]) @ Mn, 6)
+            S = _round6_half_up((V[mask] / norms[mask]) @ Mn)
             # argsort on (-sim, centroid_id): columns are id-ascending, and
             # np.argsort is stable, so sorting by -S alone breaks ties to
             # the smaller centroid_id — the expression router's order
@@ -1172,6 +1199,14 @@ def ivf_probe_persisted(
             .filter(F.col("rk") <= n_probe)
             .select(query_id_col, query_vec_col, "_nq", "centroid_id")
         )
+    # Routing runs ONCE (ADVICE r8): `probes` feeds both the driver-side
+    # distinct-cells collect below and the candidate join, and without
+    # lineage truncation the join re-evaluated the whole routing stage —
+    # under arrow=True that is a second routing GEMM AND a second
+    # driver-side centroid collect per probe call. eager=False keeps
+    # construction lazy; the distinct() collect (always the first action
+    # on this DataFrame) materializes it for both consumers.
+    probes = probes.localCheckpoint(eager=False)
     # bounded router collect: n_queries × n_probe cell ids
     cell_ids = sorted(
         r["centroid_id"]
@@ -1228,9 +1263,12 @@ def cosine_rescore_arrow(
     The joins that marshal both vectors to each pair are unchanged; only
     the arithmetic moves from the interpreted expression tree to NumPy.
     Zero-norm vectors yield NULL sim (the shared contract); rounding is
-    HALF_EVEN at 6 dp like ``F.round``, so any divergence from the fold
-    form needs a true sum whose accumulation-order error crosses a 5e-7
-    boundary — margins are measured in tests/test_gemm_rescore.py.
+    ``_round6_half_up`` — decimal HALF_UP at 6 dp, the same convention
+    as ``F.round`` (round 9 fix: this kernel previously used np.round's
+    half-to-even and the docstring mislabeled F.round as HALF_EVEN) —
+    so any divergence from the fold form needs a true sum whose
+    accumulation-order error crosses a 5e-7 boundary; margins are
+    measured in tests/test_gemm_rescore.py.
     Output: (a_col, b_col, sim double).
     """
     import numpy as np
@@ -1252,7 +1290,7 @@ def cosine_rescore_arrow(
             nb = np.einsum("ij,ij->i", B, B)
             dot = np.einsum("ij,ij->i", A, B)
             with np.errstate(invalid="ignore", divide="ignore"):
-                sim = np.round(dot / np.sqrt(na * nb), 6)
+                sim = _round6_half_up(dot / np.sqrt(na * nb))
             sim = np.where((na > 0) & (nb > 0), sim, np.nan)
             out = pd.DataFrame(
                 {a_col: pdf[a_col], b_col: pdf[b_col], "sim": sim}
@@ -1519,7 +1557,7 @@ def _semdedup_assign_arrow(
             if not keep.any():
                 continue
             pdf = pdf[keep].reset_index(drop=True)
-            S = np.round((V[keep] / norms[keep]) @ Mn, 6)
+            S = _round6_half_up((V[keep] / norms[keep]) @ Mn)
             # argmax returns the FIRST max; columns are cluster-id-ascending
             best = np.argmax(S, axis=1)
             yield pd.DataFrame(
@@ -1560,7 +1598,7 @@ def _semdedup_cluster_pairs_arrow(
         # zero-norm vectors never reach here (assignment masked them),
         # but guard the division for direct callers
         norms[norms == 0] = 1.0
-        S = np.round((V / norms) @ (V / norms).T, 6)
+        S = _round6_half_up((V / norms) @ (V / norms).T)
         ia, ib = np.triu_indices(len(pdf), k=1)
         hit = S[ia, ib] >= threshold
         ids = pdf[id_col].to_numpy()

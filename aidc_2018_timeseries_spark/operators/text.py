@@ -827,11 +827,14 @@ def dsir_selection(
     # bounded by docs × min(bigrams/doc, n_buckets) rows, never bodies);
     # the same executor-storage-vs-recompute trade as the ngram posting
     # relations. Weights are unchanged: Σ cnt·lr over (doc, bucket) is
-    # the same exact BIGINT as Σ lr over occurrences.
+    # the same exact BIGINT as Σ lr over occurrences. eager=False
+    # (ADVICE r8): merely CONSTRUCTING the DataFrame must not run the
+    # corpus pass — the first action materializes it once and both
+    # consumers (bucket models, per-doc weights) reuse it.
     docbucket = (
         exploded.groupBy(id_col, "_bucket", "_t")
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     stats = docbucket.groupBy("_bucket").agg(
         F.sum("_cnt").alias("_r"),

@@ -333,9 +333,19 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB norm) each identical-content group enters CC as a linear
     # star instead of a quadratic clique (equality pytest-pinned in
     # tests/test_dedup_properties.py; dup-25x decade in SCALING.md).
+    # collapse=False EXPLICITLY (ADVICE r8): leaving the tri-state unset
+    # ran the gate aggregate over `kept` at face-CONSTRUCTION time —
+    # executing the whole curation chain before any caller action, the
+    # exact eager-gate cost the knob exists to avoid. False is the
+    # measured-right branch for this face's regime (clean corpora, mean
+    # copies/content <= the 20-copy crossover), and the two branches are
+    # byte-identical (tests/test_dedup_properties.py), so the choice is
+    # performance-only; a duplicate-heavy deployment passes True or
+    # leaves it None to re-enable the adaptive gate at run time.
     labels = dd.minhash_components_collapsed(
         kept, "doc_id", "text",
         num_hashes=_NUM_HASHES, num_bands=_NUM_BANDS, shingle_n=_SHINGLE_N,
+        collapse=False,
     )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     canon = (
